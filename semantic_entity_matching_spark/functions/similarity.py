@@ -1,0 +1,187 @@
+"""Pair-scoring functions: cosine similarity + string-similarity rerank.
+
+The reference scores candidates twice: a vector distance inside OpenSearch
+(HNSW, space l2|cosine — lib/setup_opensearch.py:18) and an opaque Cohere
+rerank ``relevanceScore`` (lib/rerank.py:45-70).  Per the north_rule the
+rerank stage is replaced with a transparent Jaro-Winkler/Levenshtein +
+cosine blend.
+
+All float math accumulates in float64 so scores are independent of
+partitioning (SURVEY §7.3 hard part (c)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# ---------------------------------------------------------------------------
+# cosine
+# ---------------------------------------------------------------------------
+
+def cosine_py(a: list[float], b: list[float]) -> float:
+    """Pure-Python/numpy oracle used by tests; float64 accumulation."""
+    va = np.asarray(a, dtype=np.float64)
+    vb = np.asarray(b, dtype=np.float64)
+    na = np.linalg.norm(va)
+    nb = np.linalg.norm(vb)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(va, vb) / (na * nb))
+
+
+@pandas_udf(DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine over two array<float> columns (same fixed dim).
+
+    np.vstack + einsum keeps the whole Arrow batch in two dense matrices —
+    one BLAS pass instead of a per-row Python loop.
+    """
+    mask = a.notna() & b.notna()
+    out = np.zeros(len(a), dtype=np.float64)
+    if mask.any():
+        ma = np.vstack(a[mask].to_numpy()).astype(np.float64)
+        mb = np.vstack(b[mask].to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = np.where(norms > 0, dots / norms, 0.0)
+        out[mask.to_numpy()] = vals
+    return pd.Series(out).where(mask, other=None)
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """JVM-native cosine (no Python boundary) for SQL-oracle parity paths.
+
+    ``aggregate(zip_with(...))`` runs inside whole-stage codegen; use this
+    where the plan must stay fully JVM-side, the pandas UDF elsewhere (the
+    UDF wins on wide vectors because of BLAS).
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    na = F.sqrt(dot(ca, ca))
+    nb = F.sqrt(dot(cb, cb))
+    return F.when((na > 0) & (nb > 0), dot(ca, cb) / (na * nb)).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (standard algorithm; no external fuzz libs in this container)
+# ---------------------------------------------------------------------------
+
+def jaro_py(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions // 2
+    m = matches
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Standard Jaro-Winkler with prefix scale 0.1, prefix cap 4."""
+    jaro = jaro_py(s1, s2)
+    prefix = 0
+    for c1, c2 in zip(s1[:4], s2[:4]):
+        if c1 == c2:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler.  The inner comparison is per-pair Python
+    (the algorithm is inherently per-pair), but strings cross the boundary
+    once per Arrow batch; at the rerank stage this runs on already-blocked
+    candidate pairs, not the full corpus."""
+    out = np.empty(len(a), dtype=np.float64)
+    av = a.to_numpy()
+    bv = b.to_numpy()
+    for i in range(len(a)):
+        x, y = av[i], bv[i]
+        if x is None or y is None:
+            out[i] = 0.0
+        else:
+            out[i] = jaro_winkler_py(x, y)
+    return pd.Series(out)
+
+
+def levenshtein_similarity_expr(a: str | Column, b: str | Column) -> Column:
+    """Normalized Levenshtein similarity 1 - dist/max_len via the JVM
+    built-in ``levenshtein`` (stays in whole-stage codegen)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    maxlen = F.greatest(F.length(ca), F.length(cb))
+    return F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(ca, cb).cast("double") / maxlen.cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# blended match score (the transparent replacement for Cohere rerank, F7)
+# ---------------------------------------------------------------------------
+
+DEFAULT_WEIGHTS = {"cosine": 0.5, "jaro_winkler": 0.3, "levenshtein": 0.2}
+
+
+def blended_score(
+    cos_col: Column,
+    jw_col: Column,
+    lev_col: Column,
+    weights: dict[str, float] | None = None,
+) -> Column:
+    w = weights or DEFAULT_WEIGHTS
+    return (
+        F.coalesce(cos_col, F.lit(0.0)) * F.lit(w["cosine"])
+        + F.coalesce(jw_col, F.lit(0.0)) * F.lit(w["jaro_winkler"])
+        + F.coalesce(lev_col, F.lit(0.0)) * F.lit(w["levenshtein"])
+    )
+
+
+def knn_l2_score_expr(dist_sq: Column) -> Column:
+    """OpenSearch l2 knn score transform 1/(1+d^2) (space_type l2,
+    lib/setup_opensearch.py:18) — provided for score-compat only; rank order
+    is what the gold tests check."""
+    return F.lit(1.0) / (F.lit(1.0) + dist_sq)

@@ -1,0 +1,242 @@
+"""Blocking-key generation: MinHash/LSH band keys + sorted-neighborhood keys.
+
+This replaces the reference's HNSW ANN index (reference lib/setup_opensearch.py:10-19,
+lib/opensearch/entities/index.py:48-62) with blocking keys materialized as
+columns — candidate generation then becomes a plain (salted) equi-join that
+Catalyst/AQE can plan, instead of a service call.
+
+Output contract: ``block_keys(df) -> DataFrame(id, block_key)`` — one row per
+(record, key).  Keys are strings namespaced by scheme ("mh:<band>:<hash>",
+"sn:<bucket>") so schemes can be unioned and audited independently.
+
+Scale notes (100 TB):
+* MinHash runs in one ``mapInPandas`` pass — no shuffle.  The only shuffles
+  in candidate generation are the explode->join on block_key (hash
+  partitioned) and the final pair dedup.
+* Sorted-neighborhood avoids a global sort/row_number (single-partition
+  bottleneck): records are bucketed by a deterministic key prefix, ranked
+  per bucket (Window partitioned by bucket — parallel), and windows overlap
+  within buckets.  Cross-bucket boundary pairs are additionally covered by
+  the prefix key itself being a block key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 64-bit universal hashing over a Mersenne prime
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAXHASH = np.uint64((1 << 61) - 1)
+
+
+def _permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Byte k-shingles of the normalized text -> stable 64-bit FNV-1a hashes.
+
+    Fully vectorized: the utf-8 bytes become a sliding-window matrix
+    (n_shingles, k) and FNV folds across the k columns — k numpy ops total,
+    no per-byte Python (PYTHONHASHSEED-independent, unlike hash())."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    t = " ".join(str(text).lower().split())  # normalize whitespace + case
+    raw = t.encode("utf-8")
+    if not raw:
+        return np.empty(0, dtype=np.uint64)
+    data = np.frombuffer(raw, dtype=np.uint8)
+    if data.size <= k:
+        windows = data[None, :]
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    h = np.full(windows.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for col in range(windows.shape[1]):
+        h = (h ^ windows[:, col].astype(np.uint64)) * prime  # uint64 wraps mod 2^64
+    return np.unique(h)
+
+
+def minhash_signature(text: str, num_perm: int, shingle_k: int, seed: int) -> np.ndarray:
+    """Pure-Python/numpy oracle for one text (shared with tests)."""
+    a, b = _permutations(num_perm, seed)
+    hashes = _shingle_hashes(text, shingle_k)
+    if hashes.size == 0:
+        return np.full(num_perm, _MAXHASH, dtype=np.uint64)
+    # (n_shingles, num_perm) universal hashes -> column-min
+    vals = (hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    return vals.min(axis=0).astype(np.uint64)
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    """Word-unigram token set -> stable 64-bit hashes (Broder-style document
+    MinHash).  Order-insensitive: token swaps leave the set unchanged."""
+    import zlib
+
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    tokens = set(str(text).lower().split())
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.array(
+            [zlib.crc32(t.encode("utf-8")) for t in tokens], dtype=np.uint64
+        )
+        * np.uint64(0x9E3779B97F4A7C15)  # golden-ratio mix spreads crc32 range
+    )
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """b bands x r rows per family; similarity threshold ~ (1/b)^(1/r).
+
+    Default 16x8 (num_perm=128) => threshold ~0.70 Jaccard — tuned for
+    near-duplicate web pages (the reference's HNSW ef_search=512 plays the
+    same recall-vs-cost role, lib/setup_opensearch.py:10-19).
+
+    Two complementary families (each pair only needs ONE shared key):
+    * char byte-shingles ("mh:")  — robust to word substitutions/abbrevs,
+      weak to token reordering near the text head;
+    * word unigrams ("mhw:")      — invariant under reordering, weaker to
+      heavy in-word edits.
+    """
+
+    num_bands: int = 16
+    rows_per_band: int = 8
+    shingle_k: int = 5
+    seed: int = 42
+    use_char_family: bool = True
+    use_word_family: bool = True
+
+    @property
+    def num_perm(self) -> int:
+        return self.num_bands * self.rows_per_band
+
+
+def minhash_block_keys(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    config: LSHConfig | None = None,
+) -> DataFrame:
+    """(id, block_key) rows: one key per LSH band, 'mh:<band>:<bandhash>'.
+
+    Single mapInPandas pass (no shuffle); rows with null/empty text emit no
+    keys (reference skips NaN/empty rows, lib/evaluate.py:97-107).
+    """
+    cfg = config or LSHConfig()
+    perms = {
+        "mh": _permutations(cfg.num_perm, cfg.seed),
+        "mhw": _permutations(cfg.num_perm, cfg.seed + 101),
+    }
+    families = []
+    if cfg.use_char_family:
+        families.append(("mh", lambda t: _shingle_hashes(t, cfg.shingle_k)))
+    if cfg.use_word_family:
+        families.append(("mhw", _word_hashes))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids: list = []
+            keys: list[str] = []
+            for rid, text in zip(batch[id_col], batch[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                if not str(text).strip():
+                    continue
+                for prefix, hasher in families:
+                    hashes = hasher(text)
+                    if hashes.size == 0:
+                        continue
+                    a, b = perms[prefix]
+                    vals = (hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                    sig = vals.min(axis=0)
+                    bands = sig.reshape(cfg.num_bands, cfg.rows_per_band)
+                    # stable band hash: fold band rows with FNV-style mixing
+                    band_hash = bands[:, 0].copy()
+                    for r in range(1, cfg.rows_per_band):
+                        band_hash = (band_hash * np.uint64(1099511628211) + bands[:, r]) % _MERSENNE
+                    for band_idx in range(cfg.num_bands):
+                        ids.append(rid)
+                        keys.append(f"{prefix}:{band_idx}:{band_hash[band_idx]:x}")
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=batch[id_col].dtype),
+                                "block_key": keys})
+
+    schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, block_key string"
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def sorted_neighborhood_keys(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    prefix_len: int = 12,
+    window: int = 10,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """(id, block_key) for sorted-neighborhood blocking, scale-safe.
+
+    key  = first ``prefix_len`` alphanumeric chars of lowercased text
+    Rows are ranked per ``bucket`` (= first ``bucket_chars`` of the key) by
+    (key, id) — Window.partitionBy(bucket) keeps ranking parallel — and each
+    row emits two overlapping neighborhood keys of width ``window`` so any
+    two rows within window/2 positions share a key.  The raw prefix is also
+    emitted ('snp:'), which covers cross-bucket/identical-prefix pairs.
+    """
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, prefix_len
+    )
+    base = (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .withColumn("_snkey", key)
+        .where(F.length("_snkey") > 0)
+        .withColumn("_bucket", F.substring("_snkey", 1, bucket_chars))
+    )
+    w = Window.partitionBy("_bucket").orderBy("_snkey", id_col)
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    half = max(window // 2, 1)
+    return (
+        ranked.select(
+            F.col(id_col),
+            F.array(
+                F.concat(F.lit("sn:"), F.col("_bucket"), F.lit(":"),
+                         F.floor(F.col("_rn") / window).cast("string")),
+                F.concat(F.lit("sn:"), F.col("_bucket"), F.lit(":"),
+                         F.floor((F.col("_rn") + half) / window).cast("string"), F.lit("~")),
+                F.concat(F.lit("snp:"), F.col("_snkey")),
+            ).alias("_keys"),
+        )
+        .select(id_col, F.explode("_keys").alias("block_key"))
+    )
+
+
+def all_block_keys(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    lsh: LSHConfig | None = None,
+    sn_window: int = 10,
+) -> DataFrame:
+    """Union of both schemes (SURVEY §2.7: unionByName + dedup)."""
+    mh = minhash_block_keys(df, id_col, text_col, lsh)
+    sn = sorted_neighborhood_keys(df, id_col, text_col, window=sn_window)
+    return mh.unionByName(sn).dropDuplicates([id_col, "block_key"])
+
+
+def block_size_audit(blocks: DataFrame, id_col: str = "url") -> DataFrame:
+    """Per-key block sizes, largest first — skew visibility (north_rule)."""
+    return (
+        blocks.groupBy("block_key")
+        .agg(F.count(id_col).alias("block_size"))
+        .orderBy(F.desc("block_size"))
+    )

@@ -1,0 +1,96 @@
+"""Candidate-pair generation: salted equi self-join on block keys.
+
+Replaces the reference's kNN candidate retrieval (J1 — reference
+lib/opensearch/services/search_query_builder.py:46-62).  Given
+``blocks(id, block_key)`` the candidates are all unordered pairs sharing a
+key, with:
+
+* **block-size cap** — keys whose block exceeds ``max_block_size`` are
+  dropped (boilerplate mega-blocks at web scale produce O(n^2) garbage
+  pairs; the drop is logged via the returned audit).
+* **explicit salting** for hot keys (north_rule): the probe side gets
+  ``salt = pmod(xxhash64(id), s)`` and the build side is replicated across
+  all s salts, so one hot key fans out over s reducers instead of one.
+  AQE skew-join remains on as a second line of defense.
+* **canonical ordering** id_a < id_b (J5) — suppresses self-pairs and
+  (a,b)/(b,a) duplicates before the cross-key dropDuplicates.
+
+Shuffle inventory (the whole operator): one hash shuffle on (block_key,
+salt) for the join + one on (id_a, id_b) for dedup.  Nothing else.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PairGenConfig:
+    max_block_size: int = 200      # drop pathological boilerplate blocks
+    hot_block_threshold: int = 20  # salt keys with blocks larger than this
+    n_salts: int = 8
+
+
+def generate_candidate_pairs(
+    blocks: DataFrame,
+    id_col: str = "url",
+    config: PairGenConfig | None = None,
+) -> DataFrame:
+    """blocks(id, block_key) -> pairs(id_a, id_b, block_key) deduped.
+
+    The same pair found via several keys keeps the lexicographically first
+    key (deterministic) after dropDuplicates on (id_a, id_b).
+    """
+    cfg = config or PairGenConfig()
+
+    sizes = blocks.groupBy("block_key").agg(F.count(id_col).alias("block_size"))
+    # block sizes are one row per key — tiny vs the corpus; broadcast so the
+    # size-annotation join costs no shuffle of the big side.
+    annotated = blocks.join(F.broadcast(sizes), "block_key").where(
+        F.col("block_size") <= cfg.max_block_size
+    )
+
+    cold = annotated.where(F.col("block_size") <= cfg.hot_block_threshold)
+    hot = annotated.where(F.col("block_size") > cfg.hot_block_threshold)
+
+    def self_join(side: DataFrame, salted: bool) -> DataFrame:
+        left = side.select(F.col("block_key"), F.col(id_col).alias("id_a"))
+        right = side.select(F.col("block_key"), F.col(id_col).alias("id_b"))
+        if salted:
+            # left row keeps its own salt; right row is replicated to every
+            # salt — each unordered pair meets exactly once under the
+            # (id_a < id_b) filter below.
+            left = left.withColumn(
+                "_salt", F.pmod(F.xxhash64("id_a"), F.lit(cfg.n_salts)).cast("int")
+            )
+            right = right.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.n_salts - 1)))
+            )
+            joined = left.join(right, ["block_key", "_salt"]).drop("_salt")
+        else:
+            joined = left.join(right, "block_key")
+        return joined.where(F.col("id_a") < F.col("id_b"))
+
+    pairs = self_join(cold, salted=False).unionByName(self_join(hot, salted=True))
+    # min(block_key) — deterministic representative key for "same blocking
+    # key" evaluation (BASELINE.json north_rule)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+
+
+def dropped_blocks_audit(
+    blocks: DataFrame, id_col: str = "url", config: PairGenConfig | None = None
+) -> DataFrame:
+    """Keys excluded by the block-size cap, with sizes (no silent caps)."""
+    cfg = config or PairGenConfig()
+    return (
+        blocks.groupBy("block_key")
+        .agg(F.count(id_col).alias("block_size"))
+        .where(F.col("block_size") > cfg.max_block_size)
+        .orderBy(F.desc("block_size"))
+    )

@@ -1,0 +1,223 @@
+"""End-to-end record-linkage pipeline (the flagship plan).
+
+    webpages(url, warc_ts, html, text, lang)
+      → canonical text + embedding          (Arrow pandas UDFs, no shuffle)
+      → blocking keys (LSH + sorted-nbhd)   (mapInPandas + one window)
+      → candidate pairs                     (salted equi-join, capped blocks)
+      → pair scoring                        (cosine BLAS batch + JW + Levenshtein)
+      → threshold → match edges
+      → connected components                (large-star/small-star, checkpointed)
+      → clusters(id, component)
+
+Counters (pairs_generated, pairs_scored, edges_emitted) are captured at each
+stage boundary and written with the stage checkpoint (Iceberg snapshot
+properties in production; manifest JSON here) — per-partition task metrics
+remain visible in the Spark UI/event log, and the stage counts make the run
+resumable AND auditable (north_rule).
+
+Every stage reads its input from the previous stage's committed snapshot,
+so a killed run resumes at the first uncommitted stage (``resume=True``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.embed import (
+    EmbeddingProvider,
+    TokenHashEmbeddingProvider,
+)
+from semantic_entity_matching_spark.functions.extract import canonical_text_udf
+from semantic_entity_matching_spark.functions.similarity import (
+    blended_score,
+    cosine_udf,
+    jaro_winkler_udf,
+    levenshtein_similarity_expr,
+)
+from semantic_entity_matching_spark.operators.blocking import LSHConfig, all_block_keys
+from semantic_entity_matching_spark.operators.cluster import clusters_from_pairs
+from semantic_entity_matching_spark.operators.pairs import (
+    PairGenConfig,
+    generate_candidate_pairs,
+)
+from semantic_entity_matching_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class MatchConfig:
+    id_col: str = "url"
+    text_col: str = "text"
+    extract_cols: tuple[str, ...] = ("url", "text", "lang")
+    embedding_dim: int = 256
+    lsh: LSHConfig = field(default_factory=LSHConfig)
+    sn_window: int = 10
+    pairgen: PairGenConfig = field(default_factory=PairGenConfig)
+    match_threshold: float = 0.80
+    score_weights: dict | None = None
+    max_cc_iterations: int = 20
+
+
+@dataclass
+class MatchResult:
+    clusters: DataFrame
+    edges: DataFrame
+    scored_pairs: DataFrame
+    counters: dict
+
+
+def prepare_records(
+    pages: DataFrame,
+    config: MatchConfig,
+    provider: EmbeddingProvider | None = None,
+) -> DataFrame:
+    """url + canonical entity text + embedding.
+
+    Column pruning matters at 100 TB: ``html`` (the fat binary column) is
+    dropped before any UDF so the parquet scan never materializes it —
+    verify with .explain(): ReadSchema excludes html.
+    """
+    # token-hash (feature hashing) is the default: deterministic AND
+    # similarity-preserving for near-duplicates.  The md5 scheme
+    # (HashEmbeddingProvider) only detects exact duplicates; a real
+    # sentence-transformer slots in here on a cluster.
+    provider = provider or TokenHashEmbeddingProvider(dim=config.embedding_dim)
+    cols = [c for c in config.extract_cols if c in pages.columns]
+    return (
+        pages.select(*dict.fromkeys([config.id_col, config.text_col, *cols]))
+        .withColumn("entity_text", canonical_text_udf(cols))
+        .withColumn("embedding", provider.udf()(F.col(config.text_col)))
+        .select(config.id_col, config.text_col, "entity_text", "embedding")
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    config: MatchConfig,
+) -> DataFrame:
+    """Attach features to (id_a, id_b) and compute the blended score.
+
+    Two hash joins against the records table (shuffled on id — the same
+    partitioning both times, so AQE can reuse the exchange).  Records carry
+    only (id, text, embedding): the per-pair payload stays narrow.
+    """
+    feat = records.select(
+        F.col(config.id_col).alias("_rid"),
+        F.col(config.text_col).alias("_text"),
+        F.col("embedding").alias("_emb"),
+    )
+    a = feat.select(
+        F.col("_rid").alias("id_a"),
+        F.col("_text").alias("text_a"),
+        F.col("_emb").alias("emb_a"),
+    )
+    b = feat.select(
+        F.col("_rid").alias("id_b"),
+        F.col("_text").alias("text_b"),
+        F.col("_emb").alias("emb_b"),
+    )
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cosine_udf(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b")))
+        .withColumn("levenshtein", levenshtein_similarity_expr("text_a", "text_b"))
+        .withColumn(
+            "score",
+            blended_score(
+                F.col("cosine"),
+                F.col("jaro_winkler"),
+                F.col("levenshtein"),
+                config.score_weights,
+            ),
+        )
+    )
+    return scored.select(
+        "id_a", "id_b", "block_key", "cosine", "jaro_winkler", "levenshtein", "score"
+    )
+
+
+def run_pipeline(
+    pages: DataFrame,
+    config: MatchConfig | None = None,
+    provider: EmbeddingProvider | None = None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> MatchResult:
+    """Full pipeline.  With ``checkpoint``, each stage is committed and a
+    re-run with ``resume=True`` skips every already-committed stage."""
+    config = config or MatchConfig()
+    counters: dict[str, int] = {}
+
+    def stage(name: str, build, counter_of=None) -> DataFrame:
+        if checkpoint is not None:
+            if resume and checkpoint.exists(name):
+                df = checkpoint.read(name)
+                resumed = checkpoint.manifest(name).get("counters", {})
+                counters.update(resumed)
+                for k, v in resumed.items():  # keep run-summary totals complete
+                    checkpoint.add_counter(k, v)
+                return df
+            df = build()
+            n = df.count()
+            cnt = {counter_of: n} if counter_of else {}
+            checkpoint.write(name, df, counters=cnt)
+            counters.update(cnt)
+            return checkpoint.read(name)
+        # no checkpoint dir: cut lineage in memory — each stage feeds several
+        # downstream consumers, so without this every stage recomputes its
+        # whole upstream chain (and the counter count() would double it).
+        df = build().localCheckpoint(eager=True)
+        if counter_of:
+            counters[counter_of] = df.count()
+        return df
+
+    records = stage(
+        "records", lambda: prepare_records(pages, config, provider), "records_prepared"
+    )
+    blocks = stage(
+        "blocks",
+        lambda: all_block_keys(
+            records,
+            id_col=config.id_col,
+            text_col=config.text_col,
+            lsh=config.lsh,
+            sn_window=config.sn_window,
+        ),
+        "block_keys_emitted",
+    )
+    pairs = stage(
+        "pairs",
+        lambda: generate_candidate_pairs(blocks, config.id_col, config.pairgen),
+        "pairs_generated",
+    )
+    scored = stage(
+        "scored", lambda: score_pairs(pairs, records, config), "pairs_scored"
+    )
+    edges = stage(
+        "edges",
+        lambda: scored.where(F.col("score") >= config.match_threshold).select(
+            "id_a", "id_b", "score"
+        ),
+        "edges_emitted",
+    )
+    clusters = stage(
+        "clusters",
+        lambda: clusters_from_pairs(
+            edges.select("id_a", "id_b"),
+            all_ids=records,
+            id_col=config.id_col,
+            max_iterations=config.max_cc_iterations,
+            checkpoint=checkpoint,
+            resume=resume,
+        ),
+        "records_clustered",
+    )
+    if checkpoint is not None:
+        checkpoint.write_run_summary()
+    return MatchResult(
+        clusters=clusters, edges=edges, scored_pairs=scored, counters=counters
+    )

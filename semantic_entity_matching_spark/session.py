@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the record-linkage workload.
+
+The reference repo has no engine of its own; its throughput knobs are async
+worker counts and AIMD throttling (reference lib/async_batch_processor.py,
+lib/dynamic_semaphore.py).  Here the equivalents are shuffle partitioning,
+AQE, and Arrow batch sizing — all set once at session build.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size is the analog of the reference's request batching
+# (50-row bulk writes, lib/ingest.py:22; 50-query _msearch, lib/evaluate.py:82):
+# it bounds peak memory of every pandas UDF.  10k rows/batch keeps the
+# embedding UDF (dim≤1024 float32) under ~40 MB per batch per core.
+ARROW_MAX_RECORDS_PER_BATCH = 10_000
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_session(
+    master: str | None = None,
+    app_name: str = "semantic-entity-matching-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-oriented defaults.
+
+    AQE is on so skewed blocking-key joins are split at runtime even before
+    our explicit salting kicks in, and so tiny post-filter shuffles coalesce.
+    On a real cluster this function is a no-op pass-through (spark-submit
+    provides master/conf); locally it pins ``local[N]``.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: 1 partition per core covers the small SFs; on a real
+        # cluster spark-submit should set this to ~2-3x total cores.
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # match edges / block tables are reread across supersteps; snappy is
+        # the right trade at 100 TB (cheap CPU, splittable with parquet).
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

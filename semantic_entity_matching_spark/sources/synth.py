@@ -1,0 +1,207 @@
+"""Deterministic synthetic webpages + gold pairs (FIXTURES.md §1-2).
+
+Two generators:
+
+* ``synth_webpages`` — driver-side, seeded (numpy RandomState), small scale:
+  N base entities, 1-5 near-duplicate variants each (token swaps, casing,
+  abbreviation substitutions — mirroring the reference's LOINC example
+  "Blood sugar, fasting" vs "FBS - Fasting Blood Glucose", reference
+  README.md:18-33), plus hot-key boilerplate rows (skew exercise) and
+  null/empty-text rows (NaN-skip exercise).  Gold pairs are derived from the
+  variant process: positives = same-entity variant pairs, hard negatives =
+  different entities sharing a block-ish prefix.
+
+* ``webpages_from_documents`` — Spark-side expansion of the driver's
+  ``documents`` parquet into the webpages shape at a multiplier, fully
+  distributed (explode + deterministic column transforms, no driver data) —
+  used by the benchmark so throughput numbers aren't bound by a driver loop.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WEBPAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+GOLD_PAIRS_SCHEMA = StructType(
+    [
+        StructField("url_a", StringType(), False),
+        StructField("url_b", StringType(), False),
+        StructField("label", IntegerType(), False),
+        StructField("block_key", StringType(), True),
+    ]
+)
+
+_WORDS = (
+    "blood sugar fasting glucose serum plasma panel culture rapid test level "
+    "antibody screen urine specimen bacteria count presence absence total "
+    "hemoglobin platelet cell white red mean volume concentration ratio "
+    "creatinine sodium potassium chloride calcium protein albumin lipid "
+    "cholesterol triglyceride measurement method automated manual qualitative "
+    "quantitative reference range units result report clinical laboratory"
+).split()
+
+_ABBREVIATIONS = {
+    "fasting": "fstg",
+    "glucose": "glu",
+    "hemoglobin": "hgb",
+    "platelet": "plt",
+    "potassium": "k+",
+    "measurement": "meas",
+    "laboratory": "lab",
+    "quantitative": "quant",
+    "concentration": "conc",
+}
+
+_LANGS = ["en", "en", "en", "es", "de", "fr", "zh"]
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    n_entities: int = 100
+    seed: int = 42
+    hot_boilerplate_rows: int = 0   # identical-text rows under many urls
+    null_text_rows: int = 0         # null/empty text (skip-path exercise)
+    base_words: int = 8
+
+
+def _base_text(rng: np.random.RandomState, n_words: int) -> str:
+    return " ".join(rng.choice(_WORDS, size=n_words, replace=True))
+
+
+def _variant(rng: np.random.RandomState, text: str) -> str:
+    """One near-duplicate: smallish, similarity-preserving edits."""
+    words = text.split()
+    op = rng.randint(4)
+    if op == 0 and len(words) >= 2:  # adjacent token swap
+        i = rng.randint(len(words) - 1)
+        words[i], words[i + 1] = words[i + 1], words[i]
+    elif op == 1:  # casing change
+        i = rng.randint(len(words))
+        words[i] = words[i].upper() if rng.rand() < 0.5 else words[i].capitalize()
+    elif op == 2:  # abbreviation substitution
+        for i, w in enumerate(words):
+            if w.lower() in _ABBREVIATIONS and rng.rand() < 0.8:
+                words[i] = _ABBREVIATIONS[w.lower()]
+                break
+    else:  # small append
+        words.append(str(rng.choice(_WORDS)))
+    return " ".join(words)
+
+
+def synth_webpages(
+    spark: SparkSession, config: SynthConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """-> (webpages, gold_pairs), both deterministic for a given seed."""
+    cfg = config or SynthConfig()
+    rng = np.random.RandomState(cfg.seed)
+    epoch = datetime.datetime(2024, 1, 1)
+
+    pages: list[tuple] = []
+    gold: list[tuple] = []
+    entity_urls: list[list[str]] = []
+
+    for ent in range(cfg.n_entities):
+        base = _base_text(rng, cfg.base_words)
+        n_variants = rng.randint(1, 6)  # 1-5 variants + the base page
+        texts = [base]
+        cur = base
+        for _ in range(n_variants):
+            cur = _variant(rng, cur)
+            texts.append(cur)
+        urls = []
+        for vi, text in enumerate(texts):
+            url = f"https://example.org/e{ent:05d}/v{vi}"
+            ts = epoch + datetime.timedelta(seconds=int(rng.randint(0, 86400 * 365)))
+            lang = str(rng.choice(_LANGS))
+            html = f"<html><body><p>{text}</p></body></html>".encode()
+            pages.append((url, ts, html, text, lang))
+            urls.append(url)
+        entity_urls.append(urls)
+        # positive gold pairs: all same-entity pairs, canonical order
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                a, b = sorted((urls[i], urls[j]))
+                gold.append((a, b, 1, f"entity:{ent:05d}"))
+
+    # hard negatives: adjacent-entity base pages (different entities)
+    for ent in range(cfg.n_entities - 1):
+        a, b = sorted((entity_urls[ent][0], entity_urls[ent + 1][0]))
+        gold.append((a, b, 0, f"neg:{ent:05d}"))
+
+    boiler = "copyright example site all rights reserved terms privacy cookie notice"
+    for i in range(cfg.hot_boilerplate_rows):
+        url = f"https://example.org/boilerplate/{i:06d}"
+        pages.append((url, epoch, b"<html></html>", boiler, "en"))
+
+    for i in range(cfg.null_text_rows):
+        url = f"https://example.org/empty/{i:06d}"
+        text = None if i % 2 == 0 else "   "
+        pages.append((url, epoch, b"", text, "en"))
+
+    return (
+        spark.createDataFrame(pages, WEBPAGES_SCHEMA),
+        spark.createDataFrame(gold, GOLD_PAIRS_SCHEMA),
+    )
+
+
+def webpages_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    variants_per_doc: int = 4,
+) -> DataFrame:
+    """documents.parquet -> webpages shape, expanded ×variants, all in Spark.
+
+    Variant v=0 is the original text; v>0 apply deterministic, Catalyst-
+    expressible mutations (so the expansion itself is JVM-side and scales):
+    v%3==1 upper-cases the first 10 chars, v%3==2 drops the first word,
+    v%3==0 appends a marker token.  Duplicate structure is therefore known:
+    all variants of doc_id d belong to one true entity.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("variant")
+    mutated = (
+        F.when(v == 0, F.col("text"))
+        .when(
+            v % 3 == 1,
+            F.concat(F.upper(F.substring("text", 1, 10)), F.expr("substring(text, 11)")),
+        )
+        .when(v % 3 == 2, F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+        .otherwise(F.concat(F.col("text"), F.lit(" rev"), v.cast("string")))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(variants_per_doc - 1))).alias("variant"),
+        )
+        .select(
+            F.format_string("https://example.org/d%08d/v%d", F.col("doc_id"), v).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.encode(mutated, "utf-8").cast("binary").alias("html"),
+            mutated.alias("text"),
+            F.col("lang"),
+        )
+    )

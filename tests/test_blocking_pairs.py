@@ -1,0 +1,134 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.operators.blocking import (
+    LSHConfig,
+    all_block_keys,
+    block_size_audit,
+    minhash_block_keys,
+    minhash_signature,
+    sorted_neighborhood_keys,
+)
+from semantic_entity_matching_spark.operators.pairs import (
+    PairGenConfig,
+    dropped_blocks_audit,
+    generate_candidate_pairs,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_minhash_signature_properties():
+    cfg = LSHConfig()
+    s1 = minhash_signature("the quick brown fox jumps over the lazy dog", cfg.num_perm, cfg.shingle_k, cfg.seed)
+    s2 = minhash_signature("the quick brown fox jumps over the lazy dog", cfg.num_perm, cfg.shingle_k, cfg.seed)
+    s3 = minhash_signature("a completely different sentence about spark shuffles", cfg.num_perm, cfg.shingle_k, cfg.seed)
+    np.testing.assert_array_equal(s1, s2)  # deterministic
+    assert (s1 == s3).mean() < 0.3  # distinct texts disagree on most perms
+    # near-duplicates agree on most permutations (MinHash ~ Jaccard)
+    s4 = minhash_signature("the quick brown fox jumps over the lazy cat", cfg.num_perm, cfg.shingle_k, cfg.seed)
+    assert (s1 == s4).mean() > 0.5
+    # case/whitespace normalization
+    s5 = minhash_signature("  The QUICK  brown fox jumps over the lazy dog ", cfg.num_perm, cfg.shingle_k, cfg.seed)
+    np.testing.assert_array_equal(s1, s5)
+
+
+def test_minhash_block_keys_bucket_near_duplicates(spark):
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog today"),
+        ("u2", "the quick brown fox jumps over the lazy dog yesterday"),
+        ("u3", "completely unrelated text about query optimizers and shuffles"),
+        ("u4", None),
+        ("u5", "   "),
+    ]
+    blocks = minhash_block_keys(_pages(spark, rows))
+    rows_out = blocks.collect()
+    by_url: dict[str, set] = {}
+    for r in rows_out:
+        by_url.setdefault(r["url"], set()).add(r["block_key"])
+    assert "u4" not in by_url and "u5" not in by_url  # null/blank skip
+    # two families (char + word), num_bands keys each
+    assert len(by_url["u1"]) == 2 * LSHConfig().num_bands
+    assert by_url["u1"] & by_url["u2"]  # near-dups share >=1 band
+    assert not (by_url["u1"] & by_url["u3"])  # unrelated don't
+
+
+def test_word_family_covers_token_reordering(spark):
+    # leading-token swap: char shingles may miss, word family must hit
+    rows = [
+        ("u1", "sodium clinical blood protein hemoglobin bacteria presence"),
+        ("u2", "clinical sodium blood protein hemoglobin bacteria presence"),
+    ]
+    blocks = minhash_block_keys(_pages(spark, rows))
+    by_url: dict[str, set] = {}
+    for r in blocks.collect():
+        by_url.setdefault(r["url"], set()).add(r["block_key"])
+    word_keys_1 = {k for k in by_url["u1"] if k.startswith("mhw:")}
+    word_keys_2 = {k for k in by_url["u2"] if k.startswith("mhw:")}
+    assert word_keys_1 == word_keys_2  # identical token set -> identical sig
+
+
+def test_sorted_neighborhood_keys(spark):
+    rows = [
+        ("u1", "alpha beta gamma"),
+        ("u2", "alpha beta gamma delta"),
+        ("u3", "zulu yankee xray"),
+        ("u4", None),
+    ]
+    keys = sorted_neighborhood_keys(_pages(spark, rows), window=4)
+    got = {(r["url"], r["block_key"]) for r in keys.collect()}
+    urls = {u for u, _ in got}
+    assert urls == {"u1", "u2", "u3"}
+    # u1/u2 share the 12-char normalized prefix 'alphabetagam'
+    assert ("u1", "snp:alphabetagam") in got and ("u2", "snp:alphabetagam") in got
+
+
+def test_candidate_pairs_basic(spark):
+    blocks = spark.createDataFrame(
+        [("b1", "u1"), ("b1", "u2"), ("b1", "u3"), ("b2", "u2"), ("b2", "u1"), ("lonely", "u9")],
+        "block_key string, url string",
+    )
+    pairs = generate_candidate_pairs(blocks)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {("u1", "u2"), ("u1", "u3"), ("u2", "u3")}
+    # canonical order + no dup from the shared b2 key
+    counts = pairs.groupBy("id_a", "id_b").count().where(F.col("count") > 1).count()
+    assert counts == 0
+
+
+def test_candidate_pairs_salting_is_lossless(spark):
+    # the same block generated with and without salting yields identical pairs
+    members = [(f"hot", f"u{i:03d}") for i in range(30)]
+    blocks = spark.createDataFrame(members, "block_key string, url string")
+    unsalted = generate_candidate_pairs(
+        blocks, config=PairGenConfig(hot_block_threshold=1000, n_salts=1)
+    )
+    salted = generate_candidate_pairs(
+        blocks, config=PairGenConfig(hot_block_threshold=5, n_salts=4)
+    )
+    a = {(r["id_a"], r["id_b"]) for r in unsalted.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    assert a == b and len(a) == 30 * 29 // 2
+
+
+def test_block_cap_drops_mega_blocks(spark):
+    members = [("boiler", f"u{i:04d}") for i in range(50)] + [("ok", "a"), ("ok", "b")]
+    blocks = spark.createDataFrame(members, "block_key string, url string")
+    cfg = PairGenConfig(max_block_size=10)
+    pairs = generate_candidate_pairs(blocks, config=cfg)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {("a", "b")}
+    audit = dropped_blocks_audit(blocks, config=cfg).collect()
+    assert len(audit) == 1 and audit[0]["block_key"] == "boiler" and audit[0]["block_size"] == 50
+
+
+def test_all_block_keys_union(spark):
+    rows = [("u1", "alpha beta gamma"), ("u2", "alpha beta gamma")]
+    blocks = all_block_keys(_pages(spark, rows))
+    kinds = {r["block_key"].split(":")[0] for r in blocks.collect()}
+    assert {"mh", "mhw", "sn", "snp"} <= kinds
+    audit = block_size_audit(blocks).collect()
+    assert audit[0]["block_size"] == 2  # identical texts share every key

@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.embed import (
+    HashEmbeddingProvider,
+    SentenceEmbeddingProvider,
+    get_provider,
+    with_embedding,
+)
+from semantic_entity_matching_spark.functions.similarity import (
+    cosine_expr,
+    cosine_py,
+    cosine_udf,
+    jaro_winkler_py,
+    jaro_winkler_udf,
+    levenshtein_similarity_expr,
+)
+
+
+def _reference_test_embedding(text: str, dim: int = 1024) -> list[float]:
+    # verbatim reference scheme (tests/lib/opensearch/integration/
+    # test_services_search_service_integration.py:188-202)
+    hash_bytes = hashlib.md5(text.encode()).digest()
+    return [(hash_bytes[i % len(hash_bytes)] / 128.0) - 1.0 for i in range(dim)]
+
+
+def test_hash_embedding_matches_reference_scheme():
+    p = HashEmbeddingProvider(dim=1024)
+    for text in ["Python Programming", "Blood sugar, fasting", "", "日本語"]:
+        assert p.embed_one(text) == _reference_test_embedding(text)
+    batch = p.embed_batch(pd.Series(["Python Programming", "x"]))
+    assert batch.shape == (2, 1024)
+    np.testing.assert_allclose(
+        batch[0], np.array(_reference_test_embedding("Python Programming"), dtype=np.float32)
+    )
+
+
+def test_embedding_udf_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", "hello world"), ("c", None)],
+        "id string, text string",
+    )
+    out = with_embedding(df, provider=HashEmbeddingProvider(dim=64)).collect()
+    by_id = {r["id"]: r["text_embedding"] for r in out}
+    assert by_id["a"] == by_id["b"]  # identical text -> identical vector
+    assert len(by_id["a"]) == 64
+    assert by_id["c"] is None  # null text -> null embedding
+
+
+def test_provider_registry():
+    assert get_provider("hash-md5", dim=8).dim == 8
+    with pytest.raises(KeyError):
+        get_provider("nope")
+    with pytest.raises(NotImplementedError):
+        SentenceEmbeddingProvider(dim=8).embed_batch(pd.Series(["x"]))
+
+
+def test_cosine_udf_matches_oracle(spark):
+    rows = [
+        ("p", [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+        ("q", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ("r", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ("z", [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id string, a array<float>, b array<float>")
+    got_udf = {r["id"]: r["c"] for r in df.select("id", cosine_udf("a", "b").alias("c")).collect()}
+    got_expr = {r["id"]: r["c"] for r in df.select("id", cosine_expr("a", "b").alias("c")).collect()}
+    for rid, a, b in rows:
+        expected = cosine_py(a, b)
+        assert got_udf[rid] == pytest.approx(expected, abs=1e-9)
+        assert got_expr[rid] == pytest.approx(expected, abs=1e-9)
+
+
+def test_jaro_winkler_known_values():
+    # classic published values for the standard algorithm
+    assert jaro_winkler_py("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler_py("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
+    assert jaro_winkler_py("abc", "abc") == 1.0
+    assert jaro_winkler_py("", "abc") == 0.0
+    assert jaro_winkler_py("abc", "xyz") == 0.0
+
+
+def test_string_similarity_udfs(spark):
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("abc", "abc"), (None, "abc")], "a string, b string"
+    )
+    rows = df.select(
+        jaro_winkler_udf("a", "b").alias("jw"),
+        levenshtein_similarity_expr("a", "b").alias("lev"),
+    ).collect()
+    assert rows[0]["jw"] == pytest.approx(0.9611, abs=1e-4)
+    assert rows[1]["jw"] == 1.0
+    assert rows[2]["jw"] == 0.0
+    assert rows[0]["lev"] == pytest.approx(1 - 2 / 6, abs=1e-9)
+    assert rows[1]["lev"] == 1.0
+
+
+def test_embeddings_table_cosine(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.limit(1).select(F.col("embedding").alias("e")).collect()[0]["e"]
+    assert len(first) == 64
+    out = (
+        emb.limit(5)
+        .withColumn("self_sim", cosine_udf(F.col("embedding"), F.col("embedding")))
+        .collect()
+    )
+    for r in out:
+        assert r["self_sim"] == pytest.approx(1.0, abs=1e-9)

@@ -1,0 +1,95 @@
+"""End-to-end gold-pair acceptance: pairwise F1 >= 0.99 (BASELINE.json).
+
+The synthetic corpus mirrors FIXTURES.md §1-2: seeded entities with 1-5
+near-duplicate variants, hot boilerplate rows (skew), null/empty text rows
+(skip path).  Gold pairs: positives = same-entity pairs, hard negatives =
+cross-entity base pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.operators.evaluate import (
+    pairwise_metrics,
+    predicted_pairs_from_clusters,
+)
+from semantic_entity_matching_spark.plans.checkpoint import CheckpointManager
+from semantic_entity_matching_spark.plans.pipeline import (
+    MatchConfig,
+    run_pipeline,
+)
+from semantic_entity_matching_spark.sources.synth import SynthConfig, synth_webpages
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages, gold = synth_webpages(
+        spark,
+        SynthConfig(n_entities=60, seed=42, hot_boilerplate_rows=40, null_text_rows=6),
+    )
+    return pages.cache(), gold.cache()
+
+
+def test_gold_pair_f1(spark, corpus):
+    pages, gold = corpus
+    result = run_pipeline(pages, MatchConfig())
+    pred = predicted_pairs_from_clusters(result.clusters)
+    m = pairwise_metrics(pred, gold)
+    assert m.f1 >= 0.99, (
+        f"F1={m.f1:.4f} (p={m.precision:.4f} r={m.recall:.4f} "
+        f"tp={m.true_positives} fp={m.false_positives} fn={m.false_negatives})"
+    )
+
+
+def test_pipeline_counters(spark, corpus):
+    pages, _ = corpus
+    result = run_pipeline(pages, MatchConfig())
+    c = result.counters
+    assert c["pairs_generated"] > 0
+    assert c["pairs_scored"] == c["pairs_generated"]
+    assert 0 < c["edges_emitted"] <= c["pairs_scored"]
+    # every input record lands in exactly one cluster row
+    assert c["records_clustered"] == pages.count()
+
+
+def test_null_and_boilerplate_rows_are_contained(spark, corpus):
+    pages, _ = corpus
+    result = run_pipeline(pages, MatchConfig())
+    # null/empty-text urls must be singletons (no keys -> no pairs)
+    empties = result.clusters.where(F.col("id").startswith("https://example.org/empty/"))
+    assert empties.where(F.col("id") != F.col("component")).count() == 0
+    # boilerplate rows all share identical text -> they may cluster together,
+    # but must never contaminate entity clusters
+    mixed = (
+        result.clusters.where(F.col("id").startswith("https://example.org/boilerplate/"))
+        .join(
+            result.clusters.where(F.col("id").startswith("https://example.org/e")),
+            "component",
+        )
+        .count()
+    )
+    assert mixed == 0
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    pages, gold = corpus
+    cp1 = CheckpointManager(str(tmp_path / "run"), spark)
+    r1 = run_pipeline(pages, MatchConfig(), checkpoint=cp1)
+    baseline = {(r["id"], r["component"]) for r in r1.clusters.collect()}
+
+    # simulate a kill after the 'scored' stage: drop later stage snapshots
+    import shutil
+
+    for stage in ("edges", "clusters", "cc_edges"):
+        shutil.rmtree(tmp_path / "run" / stage, ignore_errors=True)
+
+    cp2 = CheckpointManager(str(tmp_path / "run"), spark)
+    r2 = run_pipeline(pages, MatchConfig(), checkpoint=cp2, resume=True)
+    resumed = {(r["id"], r["component"]) for r in r2.clusters.collect()}
+    assert resumed == baseline
+    # resumed run reused the committed pair counts (lineage preserved)
+    assert r2.counters["pairs_generated"] == r1.counters["pairs_generated"]
+    # manifests carry the counters (Iceberg snapshot-property analog)
+    assert cp2.manifest("pairs")["counters"]["pairs_generated"] > 0
