@@ -1,0 +1,153 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All of these are pure Column expressions (JVM-side, whole-stage codegen) so
+they run at scan speed with predicate pushdown intact — no Python in the hot
+path.  Each has a DuckDB-expressible twin in ``__spark_entry__.oracle_sql``.
+
+Operators: token counting, quality scoring, language-ID heuristic, document
+fingerprinting (rolling hash), char/byte stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; 0 for null/blank."""
+    c = _c(col)
+    trimmed = F.trim(c)
+    return F.when(
+        c.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: words + digits runs + punctuation marks,
+    the common cl100k-style pre-tokenization regex shape.  Plays the role of
+    the reference's tiktoken estimate (reference lib/file_token_estimation/
+    file_token_estimator.py:24-108) without the tiktoken dependency."""
+    c = _c(col)
+    # count of matches of (letter-run | digit | punct): approximate BPE
+    # pre-tokens; regexp_count is in both Spark 4 and DuckDB
+    return F.when(c.isNull(), F.lit(0)).otherwise(
+        F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for "
+    "on as at by from"
+).split()
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (C4/Gopher-style
+    heuristics).  Returns named Columns so callers pick what they need."""
+    c = _c(col)
+    n_chars = F.coalesce(F.length(c), F.lit(0))
+    n_tokens = token_count(c)
+    n_punct = F.when(c.isNull(), F.lit(0)).otherwise(
+        F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    )
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_stop = F.when(c.isNull() | (F.trim(c) == ""), F.lit(0)).otherwise(
+        F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    )
+    mean_word_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Scalar quality in [0,1]: rewards stopword presence and sane word
+    lengths, penalizes punctuation soup and very short docs."""
+    f = quality_features(col)
+    len_ok = F.when(f["n_tokens"] >= 5, F.lit(1.0)).otherwise(
+        f["n_tokens"].cast("double") / 5.0
+    )
+    word_len_ok = F.when(
+        (f["mean_word_len"] >= 3.0) & (f["mean_word_len"] <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(f["punct_ratio"] * 4.0, F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    return (len_ok * 0.3 + word_len_ok * 0.2 + punct_ok * 0.3 + stop_ok * 0.2)
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    # tiny, deterministic n-gram/function-word heuristic; a real fastText
+    # model slots in as a pandas UDF behind the same column contract
+    "es": [" el ", " la ", " los ", " las ", " que ", " de ", " y ", "ción"],
+    "de": [" der ", " die ", " das ", " und ", " ist ", " nicht ", "sch"],
+    "fr": [" le ", " la ", " les ", " des ", " est ", " une ", " que ", "eux "],
+    "en": [" the ", " and ", " of ", " to ", " is ", " in ", " that "],
+}
+
+
+def lang_id(col: str | Column) -> Column:
+    """Best-guess language code by marker hit count; 'und' if no marker."""
+    c = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.when(c.contains(m), 1).otherwise(0) for m in markers),
+            F.lit(0),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    # CJK: any Han codepoint wins outright
+    has_cjk = F.regexp_count(_c(col), F.lit(r"[一-鿿]")) > 0
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(_c(col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(has_cjk, F.lit("zh")).otherwise(best)
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(col: str | Column) -> Column:
+    """Stable 64-bit content fingerprint of the *normalized* text
+    (case/whitespace-insensitive): xxhash64 — identical normalized content
+    => identical fingerprint.  Used for exact-dup grouping at scale (cheaper
+    shuffle key than the text itself)."""
+    c = _c(col)
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def fingerprint_hex(col: str | Column) -> Column:
+    """md5 hex of the normalized text — portable across engines (DuckDB
+    oracle-checkable, unlike xxhash64 which is Spark-internal)."""
+    c = _c(col)
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)

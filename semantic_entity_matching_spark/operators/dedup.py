@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each returning DataFrames with stable, aliased columns
+(driver-contract friendly):
+
+* exact          — md5/xxhash64 group on normalized text (one shuffle)
+* minhash-LSH    — shingle → MinHash → band keys → bucket join (near-dup)
+* simhash        — 64-bit simhash + hamming-ball grouping via band keys
+* ngram-jaccard  — token n-gram Jaccard verification on candidate pairs
+* embedding      — cosine near-dup over an embedding column
+
+Scale shape: every family is (cheap per-row keying in one pass) →
+(equi-join on key) → (verify/aggregate).  No cross joins, no driver loops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.similarity import cosine_udf
+from semantic_entity_matching_spark.functions.textops import fingerprint_hex
+from semantic_entity_matching_spark.operators.blocking import (
+    LSHConfig,
+    minhash_block_keys,
+)
+from semantic_entity_matching_spark.operators.pairs import (
+    PairGenConfig,
+    generate_candidate_pairs,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of rows with identical normalized text.
+
+    -> (content_hash, keep_id, dup_count): keep_id = min id (the canonical
+    survivor), dup_count >= 2.  One hash-aggregate shuffle on the 32-byte
+    hash, never on the raw text."""
+    return (
+        df.select(F.col(id_col), fingerprint_hex(text_col).alias("content_hash"))
+        .where(F.col("content_hash").isNotNull())
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(id_col).alias("dup_count"),
+        )
+        .where(F.col("dup_count") >= 2)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id row of each identical-content group (plus all
+    null-text rows untouched)."""
+    ranked = df.withColumn("_h", fingerprint_hex(text_col)).withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_h").orderBy(F.col(id_col))),
+    )
+    return ranked.where(F.col("_h").isNull() | (F.col("_rk") == 1)).drop("_h", "_rk")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lsh: LSHConfig | None = None,
+    jaccard_threshold: float = 0.7,
+    pairgen: PairGenConfig | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with true token-set
+    Jaccard -> (id_a, id_b, jaccard)."""
+    lsh = lsh or LSHConfig()
+    blocks = minhash_block_keys(df, id_col=id_col, text_col=text_col, config=lsh)
+    pairs = generate_candidate_pairs(blocks, id_col=id_col, config=pairgen)
+    verified = ngram_jaccard_verify(
+        pairs, df, id_col=id_col, text_col=text_col, n=1
+    )
+    return verified.where(F.col("jaccard") >= jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _token_ngrams(text: str, n: int) -> set[str]:
+    toks = str(text).lower().split()
+    if n <= 1:
+        return set(toks)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard_py(a: str, b: str, n: int = 1) -> float:
+    """Pure-Python oracle (shared with tests)."""
+    sa, sb = _token_ngrams(a, n), _token_ngrams(b, n)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_verify(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Attach true token-ngram Jaccard to candidate (id_a, id_b) pairs.
+
+    Arrow-batched pandas UDF: set algebra per pair on already-blocked
+    candidates (linear in pair count, not corpus^2)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                out[i] = 0.0
+            else:
+                out[i] = jaccard_py(x, y, n)
+        return pd.Series(out)
+
+    feat = records.select(F.col(id_col), F.col(text_col))
+    a = feat.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = feat.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jac(F.col("_ta"), F.col("_tb")))
+        .drop("_ta", "_tb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_py(text: str, bits: int = 64) -> int:
+    """Charikar simhash over word features (crc32-based, deterministic).
+    Bit voting is vectorized: one (n_tokens, 64) matrix op per doc."""
+    import zlib
+
+    if text is None:
+        return 0
+    tokens = str(text).lower().split()
+    if not tokens:
+        return 0
+    hashes = np.array(
+        [
+            zlib.crc32(raw) | (zlib.crc32(raw, 0xDEADBEEF) << 32)
+            for raw in (t.encode("utf-8") for t in tokens)
+        ],
+        dtype=np.uint64,
+    )
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    votes = ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * votes - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << bit_idx).sum())
+
+
+def with_simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """Append a 64-bit simhash column (mapInPandas, vectorized inner loop)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch = batch.copy()
+            batch["simhash"] = [
+                (v - (1 << 64)) if v >= (1 << 63) else v  # two's-complement
+                for v in (simhash_py(t, bits) for t in batch[text_col])
+            ]
+            yield batch
+
+    fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
+    return df.mapInPandas(gen, schema=f"{fields}, simhash bigint")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Pairs within hamming distance via banding: split the 64-bit hash into
+    n_bands chunks — any pair with <= (n_bands-1) differing bands shares a
+    band key (pigeonhole guarantees full recall when max_hamming < n_bands).
+    -> (id_a, id_b, hamming)."""
+    hashed = with_simhash(df, id_col, text_col).select(id_col, "simhash")
+    width = 64 // n_bands
+    bands = hashed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"sh{b}:"),
+                        F.conv(
+                            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            ).cast("string"),
+                            10,
+                            16,
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    left = bands.select(
+        F.col("block_key"), F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa")
+    )
+    right = bands.select(
+        F.col("block_key"), F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    pairs = (
+        left.join(right, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .drop("_sa", "_sb")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs over an array<float> column.
+
+    With ``bucket_col`` the self-join is per-bucket (an LSH bucket, a label,
+    a shard key...) — the scale path.  Without it, a full self-join: only
+    for small/test inputs."""
+    base = df.select(F.col(id_col), F.col(vec_col), *( [F.col(bucket_col)] if bucket_col else [] ))
+    join_keys = [bucket_col] if bucket_col else []
+    a = base.select(*join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = base.select(*join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_udf(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )

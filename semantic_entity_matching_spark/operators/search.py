@@ -1,0 +1,188 @@
+"""The reference's read path (search → rerank → evaluate) as DataFrame ops.
+
+Reference flow (lib/search_and_rerank.py:22-113): embed query → kNN top-k
+(2x over-fetch) with optional term filters → drop ``*_embedding`` fields →
+render sources → Cohere rerank → top-k truncation.  Evaluate flow
+(lib/evaluate.py:37-221): lexical ``match`` retrieval (size=50) → scan hits
+for the gold id → rank → top-k accuracy.
+
+Here: candidate retrieval is an operator argument (brute-force or LSH ANN,
+or lexical token retrieval), filters are plain ``.filter`` pushed below the
+join, rerank is the transparent Jaro-Winkler blend, and ranks come from a
+deterministic window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.extract import (
+    EMBEDDING_COLUMN_SUFFIX,
+)
+from semantic_entity_matching_spark.functions.similarity import jaro_winkler_udf
+from semantic_entity_matching_spark.operators.ann import brute_force_topk
+
+DEFAULT_SEARCH_TOP_K = 50  # reference lib/search_and_rerank.py:35
+DEFAULT_EVAL_SIZE = 50  # reference lib/evaluate.py:119
+
+
+def drop_embedding_columns(
+    df: DataFrame, suffix: str = EMBEDDING_COLUMN_SUFFIX
+) -> DataFrame:
+    """Negative projection ``*_embedding`` (reference
+    search_query_builder.py:97-98) — Catalyst prunes the columns at scan."""
+    return df.drop(*[c for c in df.columns if c.endswith(suffix)])
+
+
+def lexical_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = DEFAULT_EVAL_SIZE,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    corpus_id: str = "candidate_id",
+    corpus_text: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval (reference ``match`` query, J2) as an
+    inverted-index join: explode terms, Okapi BM25 score (k1=1.2, b=0.75 —
+    OpenSearch/Lucene defaults, which is what the reference's ``match``
+    endpoint computes), top-k per query.
+
+    Without tf saturation + length norm, long documents from a small
+    vocabulary dominate every query — observed on the synthetic documents
+    table, hence full BM25 rather than a bare idf-overlap score.
+    """
+    k1, b = 1.2, 0.75
+    n_docs = corpus.count()
+    terms = (
+        corpus.select(
+            F.col(corpus_id).alias("candidate_id"),
+            F.explode(F.split(F.lower(F.col(corpus_text)), r"\W+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("candidate_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # dl via a window over the same candidate_id partitioning the groupBy
+    # just produced — no extra shuffle, and no broadcast of a corpus-sized
+    # doc-length table (which would not fit at 10^12 docs)
+    terms = terms.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("candidate_id"))
+    )
+    row = terms.agg(
+        (F.sum("tf") / F.countDistinct("candidate_id")).alias("avgdl")
+    ).collect()[0]
+    avgdl = float(row["avgdl"] or 1.0)
+    df_counts = terms.groupBy("term").agg(
+        F.countDistinct("candidate_id").alias("df")
+    )
+    idf = df_counts.withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(F.split(F.lower(F.col(query_text)), r"\W+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        q_terms.join(terms, "term")
+        .join(F.broadcast(idf.select("term", "idf")), "term")
+        .groupBy("query_id", "candidate_id")
+        .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "score", "rank")
+    )
+
+
+def search_and_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "candidate_id",
+    vec_col: str = "embedding",
+    query_text: str = "query_text",
+    corpus_text: str = "text",
+    size: int = 10,
+    top_k: int = DEFAULT_SEARCH_TOP_K,
+    overfetch: int = 2,  # reference k = 2 x size (search_query_builder.py:58)
+    corpus_filter: Column | None = None,
+    retriever=brute_force_topk,
+) -> DataFrame:
+    """Vector retrieval (k = size x overfetch) + string rerank + truncate.
+
+    ``corpus_filter`` mirrors the reference's non-scoring bool.filter
+    context (search_query_builder.py:85-95): applied to the corpus BEFORE
+    retrieval so Catalyst pushes it to the scan (partition pruning intact).
+    Returns (query_id, candidate_id, knn_score, rerank_score, rank) with
+    rank from the rerank score, deterministic tiebreak.
+    """
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
+    hits = retriever(
+        queries,
+        corpus,
+        k=size * overfetch,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+    ).withColumnRenamed("score", "knn_score")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_text).alias("_qt")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("candidate_id"), F.col(corpus_text).alias("_ct")
+    )
+    reranked = (
+        hits.join(F.broadcast(q), "query_id")
+        .join(c, "candidate_id")
+        .withColumn("rerank_score", jaro_winkler_udf(F.col("_qt"), F.col("_ct")))
+        .drop("_qt", "_ct", "rank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("candidate_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.least(F.lit(top_k), F.lit(size * overfetch)))
+        .select("query_id", "candidate_id", "knn_score", "rerank_score", "rank")
+    )
+
+
+def evaluate_gold_ranks(
+    hits: DataFrame,
+    gold: DataFrame,
+    query_id: str = "query_id",
+    gold_candidate: str = "gold_id",
+) -> DataFrame:
+    """Rank of the gold candidate per query (reference lib/evaluate.py:
+    171-204: first hit whose match_field equals the gold value).
+
+    -> (query_id, rank) with null rank when the gold doc was not retrieved
+    (the reference's rank=None path).  ``gold`` is broadcast — it is the
+    small labeled set by construction (J3).
+    """
+    g = gold.select(
+        F.col(query_id).alias("query_id"),
+        F.col(gold_candidate).alias("candidate_id"),
+    )
+    matched = (
+        hits.join(F.broadcast(g), ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("rank"))
+    )
+    return g.select("query_id").distinct().join(matched, "query_id", "left")

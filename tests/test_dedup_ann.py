@@ -1,0 +1,156 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.embed import TokenHashEmbeddingProvider
+from semantic_entity_matching_spark.operators.ann import brute_force_topk, lsh_topk
+from semantic_entity_matching_spark.operators.dedup import (
+    drop_exact_duplicates,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    jaccard_py,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    simhash_py,
+    with_simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The  Quick Brown Fox jumps over the lazy dog"),  # exact after norm
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup
+    (3, "spark shuffles are expensive at scale"),
+    (4, "spark shuffles are expensive at scale"),  # exact dup of 3
+    (5, None),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark):
+    groups = exact_duplicate_groups(_docs(spark)).collect()
+    got = {(r["keep_id"], r["dup_count"]) for r in groups}
+    assert got == {(0, 2), (3, 2)}
+
+
+def test_drop_exact_duplicates(spark):
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(_docs(spark)).collect())
+    assert kept == [0, 2, 3, 5]
+
+
+def test_jaccard_oracle():
+    assert jaccard_py("a b c", "a b c") == 1.0
+    assert jaccard_py("a b", "c d") == 0.0
+    assert jaccard_py("a b c d", "a b c x") == pytest.approx(3 / 5)
+    assert jaccard_py("", "") == 1.0
+    assert jaccard_py("a b c", "b c a") == 1.0  # order-insensitive
+
+
+def test_minhash_near_duplicates(spark):
+    pairs = minhash_near_duplicates(_docs(spark), jaccard_threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # normalization-identical
+    assert (0, 2) in got or (1, 2) in got  # near-dup via one-token change
+    assert (3, 4) in got
+    assert all(not (a in (0, 1, 2) and b in (3, 4)) for a, b in got)
+
+
+def test_simhash_properties(spark):
+    h0 = simhash_py(DOCS[0][1])
+    h1 = simhash_py(DOCS[2][1])  # one token differs
+    h3 = simhash_py(DOCS[3][1])
+    ham01 = bin(h0 ^ h1).count("1")
+    ham03 = bin(h0 ^ h3).count("1")
+    assert ham01 < ham03  # near-dup closer than unrelated
+    assert simhash_py(DOCS[0][1]) == h0  # deterministic
+    hashed = with_simhash(_docs(spark)).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in hashed}
+    expected = simhash_py(DOCS[0][1])
+    expected = (expected - (1 << 64)) if expected >= (1 << 63) else expected
+    assert by_id[0] == expected
+
+
+def test_simhash_near_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token
+            (2, "totally different words appear in this sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    # short docs flip ~13 bits for one token; pigeonhole recall needs
+    # hamming < n_bands, so use 16 bands here
+    pairs = simhash_near_duplicates(docs, max_hamming=14, n_bands=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def _vec_table(spark, n=40, dim=32, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = []
+    for i in range(n):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((i, [float(x) for x in v]))
+    # add near-duplicates of vec 0 and 1
+    for j, src in [(n, 0), (n + 1, 1)]:
+        v = base[src] + rng.standard_normal(dim).astype(np.float32) * 0.01
+        v = v / np.linalg.norm(v)
+        rows.append((j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    vecs = _vec_table(spark)
+    queries = vecs.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = vecs.select(F.col("vec_id").alias("candidate_id"), "embedding")
+    top = brute_force_topk(queries, corpus, k=3, exclude_self=False)
+    rows = top.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["candidate_id"], r["score"]))
+    # rank 1 = self (cosine 1), rank 2 = planted near-dup
+    assert sorted(by_q[0])[0][1] == 0 and sorted(by_q[0])[1][1] == 40
+    assert sorted(by_q[1])[0][1] == 1 and sorted(by_q[1])[1][1] == 41
+    assert all(len(v) == 3 for v in by_q.values())
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    vecs = _vec_table(spark, n=60)
+    queries = vecs.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = vecs.select(F.col("vec_id").alias("candidate_id"), "embedding")
+    top = lsh_topk(queries, corpus, k=3, n_tables=12, n_bits=8)
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r["query_id"], []).append(r["candidate_id"])
+    # planted near-dups must surface in approximate top-3
+    assert 60 in by_q[0]
+    assert 61 in by_q[1]
+
+
+def test_embedding_near_duplicates(spark):
+    vecs = _vec_table(spark)
+    pairs = embedding_near_duplicates(vecs, cosine_threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 40), (1, 41)}
+
+
+def test_embedding_near_duplicates_bucketed(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_near_duplicates(
+        emb, bucket_col="label", cosine_threshold=0.99
+    )
+    # just exercising the bucketed plan — no cross join in it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out.count()  # runs

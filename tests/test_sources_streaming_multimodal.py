@@ -1,0 +1,143 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.operators.multimodal import (
+    decode_image_batch,
+    frame_sample_plan,
+    media_features,
+)
+from semantic_entity_matching_spark.sources.readers import (
+    parse_vector_transformation,
+    read_csv,
+    read_table,
+    resume_anti_join,
+)
+from semantic_entity_matching_spark.sources.synth import synth_webpages, SynthConfig
+from semantic_entity_matching_spark.sources.writers import TableSink
+from semantic_entity_matching_spark.streaming.ingest import (
+    enrich_stream,
+    read_webpages_stream,
+    write_stream,
+)
+
+
+def test_read_table(spark):
+    df = read_table(spark, "/root/testdata/sf0.001", "documents")
+    assert df.count() == 500 and "text" in df.columns
+
+
+def test_read_csv_with_vector_transform(spark, tmp_path):
+    p = tmp_path / "cat.csv"
+    p.write_text(
+        'id,name,vec\n1,alpha,"[0.1, 0.2]"\n2,beta,"not a vector"\n3,gamma,\n'
+    )
+    df = read_csv(
+        spark,
+        str(p),
+        transformations=[parse_vector_transformation(("vec",))],
+    )
+    rows = {r["id"]: r["vec"] for r in df.collect()}
+    assert rows[1] == pytest.approx([0.1, 0.2])
+    assert rows[2] is None and rows[3] is None  # parse failure -> null
+
+
+def test_read_csv_latin1_fallback(spark, tmp_path):
+    p = tmp_path / "latin.csv"
+    p.write_bytes(b"id,name\n1,caf\xe9\n")  # invalid utf-8
+    df = read_csv(spark, str(p))
+    assert df.collect()[0]["name"] == "café"
+
+
+def test_read_csv_empty_raises(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    with pytest.raises(Exception):
+        read_csv(spark, str(p))
+
+
+def test_read_csv_skip_limit(spark, tmp_path):
+    p = tmp_path / "rows.csv"
+    p.write_text("id,v\n" + "".join(f"{i},{i*10}\n" for i in range(10)))
+    df = read_csv(spark, str(p), skip_rows=3, limit_rows=4, order_col="id")
+    assert [r["id"] for r in df.collect()] == [3, 4, 5, 6]
+    with pytest.raises(ValueError, match="order_col"):
+        read_csv(spark, str(p), skip_rows=3)
+
+
+def test_table_sink_idempotent(spark, tmp_path):
+    sink = TableSink(spark, str(tmp_path / "t"), key="url")
+    a = spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int")
+    b = spark.createDataFrame([("u2", 99), ("u3", 3)], "url string, v int")
+    assert sink.append_idempotent(a) == 2
+    assert sink.append_idempotent(b) == 1  # u2 skipped (conflict-ignore)
+    got = {r["url"]: r["v"] for r in sink.read().collect()}
+    assert got == {"u1": 1, "u2": 2, "u3": 3}
+    sink.truncate()
+    assert sink.count() == 0
+    sink.drop()
+    assert not sink.exists()
+    sink.drop()  # idempotent like ignore-404
+
+
+def test_resume_anti_join(spark):
+    inc = spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int")
+    done = spark.createDataFrame([("a",)], "url string")
+    assert [r["url"] for r in resume_anti_join(inc, done).collect()] == ["b"]
+
+
+def test_streaming_ingest_roundtrip(spark, tmp_path):
+    pages, _ = synth_webpages(spark, SynthConfig(n_entities=10, seed=5))
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+    stream = read_webpages_stream(spark, src)
+    assert stream.isStreaming
+    q = write_stream(
+        enrich_stream(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == pages.count()
+    assert {"content_hash", "embedding"} <= set(out.columns)
+    # restart with no new data: exactly-once, no duplicates
+    q2 = write_stream(
+        enrich_stream(read_webpages_stream(spark, src)),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == pages.count()
+
+
+def test_media_features_plumbing(spark):
+    rows = [
+        ("m1", "image", "jpeg", bytearray(b"\x01" * 100), 8, 8, None),
+        ("m2", "image", "png", bytearray(b"\x02" * 50), 8, 8, None),
+        ("m3", "video", "mp4", bytearray(b"\x03" * 200), None, None, 3500),
+    ]
+    from semantic_entity_matching_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = media_features(media).collect()
+    by_id = {r["media_id"]: r["feature"] for r in feats}
+    assert len(by_id) == 3 and len(by_id["m1"]) == 64
+    # deterministic: same payload -> same feature
+    feats2 = media_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == by_id
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r["media_id"], r["frame_ts_ms"]) for r in frames} == {
+        ("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)
+    }
+
+
+def test_decode_stub_raises_without_fake():
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), fake=False)

@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.textops import (
+    bpe_ish_token_count,
+    fingerprint,
+    fingerprint_hex,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("  x  ",), ("",), (None,), ("one,two three",)], "t string"
+    )
+    got = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [3, 1, 0, 0, 2]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello world",), ("a1b2!",), (None,)], "t string")
+    got = [r["n"] for r in df.select(bpe_ish_token_count("t").alias("n")).collect()]
+    # hello, world | a,1,b,2,! | null
+    assert got == [2, 5, 0]
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away"
+    bad = "!!! ### $$$ %%% ^^^"
+    df = spark.createDataFrame([("good", good), ("bad", bad)], "id string, t string")
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score("t").alias("q")).collect()}
+    assert got["good"] > 0.8 > got["bad"]
+    feats = df.select("id", *[v.alias(k) for k, v in quality_features("t").items()]).collect()
+    by_id = {r["id"]: r for r in feats}
+    assert by_id["good"]["stopword_ratio"] > 0.2
+    assert by_id["bad"]["punct_ratio"] > 0.5
+
+
+def test_lang_id(spark):
+    rows = [
+        ("en", "the cat is in the house and that is fine"),
+        ("es", "el perro y la casa de los vecinos que viven"),
+        ("de", "der hund und die katze ist nicht hier"),
+        ("fr", "le chien est une bête que les gens aiment"),
+        ("zh", "这是一个中文句子"),
+        ("und", "zxqv wxyz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, t string")
+    got = df.select("expected", lang_id("t").alias("lang")).collect()
+    for r in got:
+        assert r["lang"] == r["expected"], f"{r['expected']}: got {r['lang']}"
+    assert df.where(F.lit(None).cast("string").isNull()).count() == 6  # sanity
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello   World"), ("b", "hello world"), ("c", "different")],
+        "id string, t string",
+    )
+    got = {r["id"]: (r["fp"], r["fph"]) for r in df.select(
+        "id", fingerprint("t").alias("fp"), fingerprint_hex("t").alias("fph")
+    ).collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+
+
+def test_fingerprint_hex_matches_duckdb(spark):
+    import duckdb
+
+    texts = ["Hello   World", "x", "MiXeD Case  Here"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["h"] for r in df.select(fingerprint_hex("t").alias("h")).collect()]
+    for t, h in zip(texts, got):
+        expected = duckdb.sql(
+            "select md5(regexp_replace(lower(trim($$" + t + "$$)), '\\s+', ' ', 'g'))"
+        ).fetchone()[0]
+        assert h == expected
