@@ -1,38 +1,736 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline (SURVEY.md §3.1
+equivalent: extract → embed → block → pair → score → cluster) on the
+sf0.001 ``documents`` table and returns the cluster assignment.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+query whose semantics are ANSI-SQL-expressible.  Non-SQL-expressible ops
+(MinHash-LSH banding, SimHash, iterative connected components) are present
+as rows-only checks.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7.3):
+* every float column is round()-ed in BOTH engines;
+* every top-k ranks on the ROUNDED score with an id tiebreak, so float
+  near-ties collapse to exact ties broken deterministically;
+* aggregate/computed columns carry identical aliases on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOPWORDS_SQL = (
+    "'the','a','an','and','or','of','to','in','is','are','was','were',"
+    "'be','been','it','this','that','with','for','on','as','at','by','from'"
+)
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full record-linkage pipeline over sf0.001 documents.
+
+    documents → canonical text + token-hash embedding → MinHash-LSH +
+    sorted-neighborhood blocking → salted candidate join → cosine + JW +
+    Levenshtein blend → threshold edges → large-star/small-star CC.
+    """
+    from semantic_entity_matching_spark.plans.pipeline import (
+        MatchConfig,
+        run_pipeline,
+    )
+
+    docs = _t(spark, SF_SMALL, "documents")
+    config = MatchConfig(
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+    )
+    result = run_pipeline(docs, config)
+    return result.clusters.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (joins / aggs / windows / set ops / filters)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A-family hash aggregate with map-side partials (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family shuffle join + window top-k with pre-rounded rank key."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    joined = rev.join(cust, rev.o_custkey == cust.c_custkey)
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("c_custkey", "c_name", "revenue", "rk")
+    )
+
+
+def q03_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join (dims) + grouped aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (S3 resume primitive / NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000.0)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q05_nation_top3_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ranking window with deterministic tiebreak."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            "rk",
+        )
+    )
+
+
+def q06_never_f_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (§2.7) — custkeys with orders but never status 'F'."""
+    orders = _t(spark, sf_dir, "orders")
+    all_ck = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    f_ck = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_ck.subtract(f_ck)
+
+
+def q07_priority_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 range filter pushed to scan + grouped agg."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_totalprice") >= 50000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        )
+    )
+
+
+def q08_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join (part) + agg — the broadcast-able join, broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+    )
+
+
+def q09_user_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch analog of the streaming path (§2.9)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH")
+        )
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# record-linkage / text operators over documents & embeddings
+# ---------------------------------------------------------------------------
+
+
+def q10_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 canonical entity-text extraction (byte-identical contract)."""
+    from semantic_entity_matching_spark.functions.extract import canonical_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", canonical_text_udf(["doc_id", "text", "lang"]).alias("entity_text")
+    )
+
+
+def q11_query_text_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 query-text construction + P4 validity predicate."""
+    from semantic_entity_matching_spark.functions.extract import (
+        query_text_udf,
+        valid_query_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("qtext", query_text_udf(["text", "lang"]))
+        .where(valid_query_filter("qtext"))
+        .select("doc_id", "qtext")
+    )
+
+
+def q12_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content hash."""
+    from semantic_entity_matching_spark.operators.dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, id_col="doc_id", text_col="text")
+
+
+def q13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (portable md5 twin of xxhash64 path)."""
+    from semantic_entity_matching_spark.functions.textops import fingerprint_hex
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_hex("text").alias("content_hash"))
+
+
+def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish pre-tokenizer counts."""
+    from semantic_entity_matching_spark.functions.textops import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("n_chars"),
+    )
+
+
+def q15_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (C4/Gopher-style length/punct/stopword heuristics)."""
+    from semantic_entity_matching_spark.functions.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+def q16_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/function-word heuristic."""
+    from semantic_entity_matching_spark.functions.textops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline, J1 family)."""
+    from semantic_entity_matching_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return brute_force_topk(
+        queries,
+        emb,
+        k=5,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        exclude_self=True,
+        score_round=6,
+    )
+
+
+def q18_adjacent_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification on a deterministic pair set."""
+    from semantic_entity_matching_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    verified = ngram_jaccard_verify(pairs, docs, id_col="doc_id", text_col="text")
+    return verified.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def q19_lexical_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 lexical retrieval: inverted-index join + Okapi BM25 top-k."""
+    from semantic_entity_matching_spark.operators.search import lexical_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    corpus = docs.select(F.col("doc_id").alias("candidate_id"), "text")
+    out = lexical_topk(
+        queries,
+        corpus,
+        k=10,
+        corpus_id="candidate_id",
+        corpus_text="text",
+        score_round=6,
+    )
+    return out.select("query_id", "candidate_id", "score", "rank")
+
+
+def q20_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by label (scale path)."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding",
+        bucket_col="label", cosine_threshold=0.25,
+    )
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q21_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (banding not SQL-expressible → rows-only)."""
+    from semantic_entity_matching_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", jaccard_threshold=0.4
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q22_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup (rows-only)."""
+    from semantic_entity_matching_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=10)
+
+
+def q23_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship clustering (iterative CC → rows-only)."""
+    from semantic_entity_matching_spark.plans.pipeline import (
+        MatchConfig,
+        run_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    config = MatchConfig(
+        id_col="doc_id", text_col="text", extract_cols=("doc_id", "text", "lang")
+    )
+    result = run_pipeline(docs, config)
+    return result.clusters.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_customers": q02_top_customers,
+        "q03_region_rollup": q03_region_rollup,
+        "q04_customers_without_orders": q04_customers_without_orders,
+        "q05_nation_top3_acctbal": q05_nation_top3_acctbal,
+        "q06_never_f_status_customers": q06_never_f_status_customers,
+        "q07_priority_range_agg": q07_priority_range_agg,
+        "q08_brand_volume": q08_brand_volume,
+        "q09_user_hourly_events": q09_user_hourly_events,
+        "q10_canonical_text": q10_canonical_text,
+        "q11_query_text_valid": q11_query_text_valid,
+        "q12_exact_dup_groups": q12_exact_dup_groups,
+        "q13_fingerprint": q13_fingerprint,
+        "q14_token_stats": q14_token_stats,
+        "q15_quality": q15_quality,
+        "q16_lang_id": q16_lang_id,
+        "q17_ann_topk": q17_ann_topk,
+        "q18_adjacent_jaccard": q18_adjacent_jaccard,
+        "q19_lexical_bm25": q19_lexical_bm25,
+        "q20_embedding_neardup": q20_embedding_neardup,
+        "q21_minhash_neardup": q21_minhash_neardup,
+        "q22_simhash_neardup": q22_simhash_neardup,
+        "q23_entity_clusters": q23_entity_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["q01_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                  AS sum_qty,
+               round(sum(l_extendedprice), 2)                             AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                  AS avg_qty,
+               round(avg(l_extendedprice), 4)                             AS avg_price,
+               round(avg(l_discount), 4)                                  AS avg_disc,
+               count(*)                                                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["q02_top_customers"] = """
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT c.c_custkey, c.c_name, r.revenue,
+                   row_number() OVER (ORDER BY r.revenue DESC, c.c_custkey ASC) AS rk
+            FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+        )
+        SELECT c_custkey, c_name, revenue, rk FROM ranked WHERE rk <= 10
+    """
+
+    sql["q03_region_rollup"] = """
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """
+
+    sql["q04_customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+    """
+
+    sql["q05_nation_top3_acctbal"] = """
+        WITH ranked AS (
+            SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+            FROM customer
+        )
+        SELECT c_nationkey, c_custkey, acctbal, rk FROM ranked WHERE rk <= 3
+    """
+
+    sql["q06_never_f_status_customers"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """
+
+    sql["q07_priority_range_agg"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+        FROM orders
+        WHERE o_totalprice >= 50000.0
+        GROUP BY o_orderpriority
+    """
+
+    sql["q08_brand_volume"] = """
+        SELECT p.p_brand,
+               round(sum(l.l_quantity), 2) AS sum_qty,
+               count(*) AS n_items,
+               round(avg(p.p_retailprice), 4) AS avg_retail
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """
+
+    sql["q09_user_hourly_events"] = """
+        SELECT user_id,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    """
+
+    sql["q10_canonical_text"] = """
+        SELECT doc_id,
+               'doc_id: ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               'text: '   || text                   || chr(10) ||
+               'lang: '   || lang                   AS entity_text
+        FROM documents
+    """
+
+    sql["q11_query_text_valid"] = """
+        SELECT doc_id, text || ' ' || lang AS qtext
+        FROM documents
+        WHERE (text || ' ' || lang) IS NOT NULL
+          AND trim(text || ' ' || lang) <> ''
+          AND (text || ' ' || lang) <> 'nan'
+    """
+
+    sql["q12_exact_dup_groups"] = """
+        WITH hashed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT content_hash, min(doc_id) AS keep_id, count(doc_id) AS dup_count
+        FROM hashed GROUP BY content_hash HAVING count(doc_id) >= 2
+    """
+
+    sql["q13_fingerprint"] = """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+        FROM documents
+    """
+
+    sql["q14_token_stats"] = """
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) END            AS n_bpe,
+               coalesce(length(text), 0)                                   AS n_chars
+        FROM documents
+    """
+
+    sql["q15_quality"] = f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   coalesce(length(text), 0) AS n_chars,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) END AS n_punct,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(list_filter(
+                             regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x IN ({_STOPWORDS_SQL}))) END AS n_stop
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END AS mean_word_len
+            FROM feats
+        )
+        SELECT doc_id,
+               round(
+                 (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE n_tokens::DOUBLE / 5.0 END) * 0.3
+               + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.2
+               , 6) AS quality
+        FROM ratios
+    """
+
+    # language-ID: same marker lists + same first-wins tiebreak order
+    def _score(lang: str, markers: list[str]) -> str:
+        terms = " + ".join(
+            "CASE WHEN contains(padded, '" + m.replace("'", "''") + "') THEN 1 ELSE 0 END"
+            for m in markers
+        )
+        return f"({terms}) AS s_{lang}"
+
+    markers = {
+        "es": [" el ", " la ", " los ", " las ", " que ", " de ", " y ", "ción"],
+        "de": [" der ", " die ", " das ", " und ", " ist ", " nicht ", "sch"],
+        "fr": [" le ", " la ", " les ", " des ", " est ", " une ", " que ", "eux "],
+        "en": [" the ", " and ", " of ", " to ", " is ", " in ", " that "],
+    }
+    score_cols = ",\n                   ".join(
+        _score(lang, ms) for lang, ms in markers.items()
+    )
+    sql["q16_lang_id"] = f"""
+        WITH padded AS (
+            SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, text,
+                   {score_cols}
+            FROM padded
+        )
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN greatest(s_es, s_de, s_fr, s_en) = 0 THEN 'und'
+                    WHEN s_es = greatest(s_es, s_de, s_fr, s_en) THEN 'es'
+                    WHEN s_de = greatest(s_es, s_de, s_fr, s_en) THEN 'de'
+                    WHEN s_fr = greatest(s_es, s_de, s_fr, s_en) THEN 'fr'
+                    ELSE 'en' END AS lang_guess
+        FROM scored
+    """
+
+    sql["q17_ann_topk"] = """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), s AS (
+            SELECT qid, cid,
+                   round(list_cosine_similarity(qv, cv), 6) AS score
+            FROM q, c WHERE qid <> cid
+        ), ranked AS (
+            SELECT qid AS query_id, cid AS candidate_id, score,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+            FROM s
+        )
+        SELECT query_id, candidate_id, score, rank FROM ranked WHERE rank <= 5
+    """
+
+    sql["q18_adjacent_jaccard"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(
+                 CASE WHEN len(a.tok) = 0 AND len(b.tok) = 0 THEN 1.0
+                      WHEN len(a.tok) = 0 OR len(b.tok) = 0 THEN 0.0
+                      ELSE len(list_intersect(a.tok, b.tok))::DOUBLE
+                           / len(list_distinct(list_concat(a.tok, b.tok)))
+                 END, 6) AS jaccard
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """
+
+    sql["q19_lexical_bm25"] = """
+        WITH corpus AS (
+            SELECT doc_id AS candidate_id, text FROM documents
+        ), q AS (
+            SELECT doc_id AS query_id, text AS query_text
+            FROM documents WHERE doc_id < 20
+        ), terms0 AS (
+            SELECT candidate_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x <> '')) AS term
+            FROM corpus
+        ), terms AS (
+            SELECT candidate_id, term, count(*) AS tf
+            FROM terms0 GROUP BY candidate_id, term
+        ), with_dl AS (
+            SELECT *, sum(tf) OVER (PARTITION BY candidate_id) AS dl FROM terms
+        ), stats AS (
+            SELECT sum(tf)::DOUBLE / count(DISTINCT candidate_id) AS avgdl
+            FROM terms
+        ), dfreq AS (
+            SELECT term, count(DISTINCT candidate_id) AS df FROM terms GROUP BY term
+        ), idf AS (
+            SELECT term,
+                   ln(1.0 + ((SELECT count(*) FROM corpus) - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfreq
+        ), qterms AS (
+            SELECT DISTINCT query_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(query_text), '\\W+'),
+                       x -> x <> '')) AS term
+            FROM q
+        ), scored AS (
+            SELECT qt.query_id, t.candidate_id,
+                   round(sum(i.idf * (t.tf * (1.2 + 1.0))
+                       / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))), 6) AS score
+            FROM qterms qt
+            JOIN with_dl t ON qt.term = t.term
+            JOIN idf i ON qt.term = i.term
+            CROSS JOIN stats s
+            GROUP BY qt.query_id, t.candidate_id
+        ), ranked AS (
+            SELECT query_id, candidate_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, candidate_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, candidate_id, score, rank FROM ranked WHERE rank <= 10
+    """
+
+    sql["q20_embedding_neardup"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+    """
+
+    # q21 (MinHash banding), q22 (SimHash), q23 (iterative CC): not
+    # SQL-expressible → rows-only checks by design.
+    return sql

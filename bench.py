@@ -1,0 +1,73 @@
+"""Headline benchmark for the driver (one JSON line on stdout).
+
+Runs the engine's headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.  Each query is fully
+materialized via a no-op sink so the measured time includes the whole plan
+(scan → shuffle → UDFs), not just the driver-side fetch of a few rows.
+
+    python bench.py            # one JSON line: {"metric": ..., "queries": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from semantic_entity_matching_spark.session import get_session
+
+    spark = get_session(app_name="semantic-entity-matching-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qfns = entrymod.queries()
+    headline = [
+        "q01_pricing_summary",   # scan + hash agg (shuffle-light)
+        "q09_user_hourly_events",  # tumbling-window agg
+        "q17_ann_topk",          # broadcast cosine top-k (pandas UDF path)
+        "q19_lexical_bm25",      # inverted-index join + window top-k
+        "q21_minhash_neardup",   # MinHash/LSH blocking + salted join + verify
+        "q23_entity_clusters",   # full record-linkage pipeline incl. CC
+    ]
+
+    # warm the JVM/session on a trivial action so q1 doesn't pay startup
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qfns[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

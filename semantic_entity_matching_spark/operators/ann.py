@@ -43,9 +43,15 @@ def brute_force_topk(
     corpus_id: str = "candidate_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k.  The query side is broadcast (queries are the
-    small side by construction); the corpus never shuffles."""
+    small side by construction); the corpus never shuffles.
+
+    ``score_round``: round the cosine BEFORE ranking so near-ties (< 1 ulp
+    apart) become exact ties broken by candidate_id — makes the top-k set
+    reproducible across engines/partitionings (SURVEY §7.3 hard part (c)).
+    """
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -56,6 +62,8 @@ def brute_force_topk(
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("candidate_id"))
     scored = joined.withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), score_round))
     return (
         scored.withColumn("rank", F.row_number().over(_rank_window("query_id")))
         .where(F.col("rank") <= k)

@@ -43,6 +43,7 @@ def lexical_topk(
     query_text: str = "query_text",
     corpus_id: str = "candidate_id",
     corpus_text: str = "text",
+    score_round: int | None = None,
 ) -> DataFrame:
     """BM25 lexical retrieval (reference ``match`` query, J2) as an
     inverted-index join: explode terms, Okapi BM25 score (k1=1.2, b=0.75 —
@@ -101,6 +102,10 @@ def lexical_topk(
         .groupBy("query_id", "candidate_id")
         .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
     )
+    if score_round is not None:
+        # round BEFORE ranking: float near-ties become exact ties broken by
+        # candidate_id — reproducible top-k across engines/partitionings
+        scored = scored.withColumn("score", F.round(F.col("score"), score_round))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("candidate_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

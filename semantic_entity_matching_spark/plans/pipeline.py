@@ -58,6 +58,12 @@ class MatchConfig:
     match_threshold: float = 0.80
     score_weights: dict | None = None
     max_cc_iterations: int = 20
+    # cap for the O(len^2)/O(len*window) string metrics (Levenshtein, JW):
+    # web pages are long; edit distance on full pages is neither meaningful
+    # nor affordable at 10^12 docs (JW on 512 chars is ~10 ms/pair in pure
+    # Python).  JW/Lev are short-string (name-like) metrics; they see the
+    # first ``rerank_max_chars`` chars only.
+    rerank_max_chars: int = 100
 
 
 @dataclass
@@ -98,32 +104,80 @@ def score_pairs(
     records: DataFrame,
     config: MatchConfig,
 ) -> DataFrame:
-    """Attach features to (id_a, id_b) and compute the blended score.
+    """Stage 1 of scoring: attach texts/embeddings and the CHEAP feature
+    (batched BLAS cosine) to every candidate pair.
 
     Two hash joins against the records table (shuffled on id — the same
     partitioning both times, so AQE can reuse the exchange).  Records carry
     only (id, text, embedding): the per-pair payload stays narrow.
+
+    The expensive per-pair string metrics live in :func:`rerank_pairs`,
+    which runs only on pairs that can still reach the match threshold —
+    the same retrieve-then-rerank shape as the reference
+    (lib/search_and_rerank.py:22-113), but with an exact pruning bound.
+
+    Texts are deliberately NOT joined here: at web scale the candidate-pair
+    table is the biggest intermediate, and shuffling two text payloads per
+    pair dwarfs the embeddings.  The rerank stage joins texts only for the
+    (much smaller) survivor set.
     """
     feat = records.select(
         F.col(config.id_col).alias("_rid"),
-        F.col(config.text_col).alias("_text"),
         F.col("embedding").alias("_emb"),
     )
-    a = feat.select(
-        F.col("_rid").alias("id_a"),
-        F.col("_text").alias("text_a"),
-        F.col("_emb").alias("emb_a"),
-    )
-    b = feat.select(
-        F.col("_rid").alias("id_b"),
-        F.col("_text").alias("text_b"),
-        F.col("_emb").alias("emb_b"),
-    )
-    scored = (
+    a = feat.select(F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a"))
+    b = feat.select(F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b"))
+    return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cosine", cosine_udf(F.col("emb_a"), F.col("emb_b")))
-        .withColumn("jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b")))
+        .select("id_a", "id_b", "block_key", "cosine")
+    )
+
+
+def rerank_cosine_cutoff(config: MatchConfig) -> float:
+    """Exact pruning bound for the rerank stage.
+
+    JW and Levenshtein similarities are <= 1, so a pair's blended score is
+    at most ``w_cos*cosine + w_jw + w_lev``.  If that upper bound is below
+    the match threshold the pair can NEVER become an edge — skipping its
+    rerank loses zero recall.  With default weights/threshold the cutoff is
+    cosine < (0.80 - 0.5) / 0.5 = 0.6, which prunes the vast majority of
+    candidate pairs before any per-pair Python runs.
+    """
+    from semantic_entity_matching_spark.functions.similarity import DEFAULT_WEIGHTS
+
+    w = config.score_weights or DEFAULT_WEIGHTS
+    w_cos = w["cosine"]
+    if w_cos <= 0:
+        return float("-inf")
+    return (config.match_threshold - w["jaro_winkler"] - w["levenshtein"]) / w_cos
+
+
+def rerank_pairs(
+    scored: DataFrame, records: DataFrame, config: MatchConfig
+) -> DataFrame:
+    """Stage 2 of scoring: expensive string metrics + blended score, only on
+    pairs whose upper bound can still reach the threshold.  Joins the
+    (truncated) texts here so the big stage-1 pair table stays narrow."""
+    survivors = scored.where(F.col("cosine") >= F.lit(rerank_cosine_cutoff(config)))
+    txt = records.select(
+        F.col(config.id_col).alias("_rid"),
+        F.substring(F.col(config.text_col), 1, config.rerank_max_chars).alias(
+            "_text"
+        ),
+    )
+    survivors = survivors.join(
+        txt.select(F.col("_rid").alias("id_a"), F.col("_text").alias("text_a")),
+        "id_a",
+    ).join(
+        txt.select(F.col("_rid").alias("id_b"), F.col("_text").alias("text_b")),
+        "id_b",
+    )
+    return (
+        survivors.withColumn(
+            "jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b"))
+        )
         .withColumn("levenshtein", levenshtein_similarity_expr("text_a", "text_b"))
         .withColumn(
             "score",
@@ -134,9 +188,10 @@ def score_pairs(
                 config.score_weights,
             ),
         )
-    )
-    return scored.select(
-        "id_a", "id_b", "block_key", "cosine", "jaro_winkler", "levenshtein", "score"
+        .select(
+            "id_a", "id_b", "block_key", "cosine", "jaro_winkler",
+            "levenshtein", "score",
+        )
     )
 
 
@@ -197,9 +252,12 @@ def run_pipeline(
     scored = stage(
         "scored", lambda: score_pairs(pairs, records, config), "pairs_scored"
     )
+    reranked = stage(
+        "reranked", lambda: rerank_pairs(scored, records, config), "pairs_reranked"
+    )
     edges = stage(
         "edges",
-        lambda: scored.where(F.col("score") >= config.match_threshold).select(
+        lambda: reranked.where(F.col("score") >= config.match_threshold).select(
             "id_a", "id_b", "score"
         ),
         "edges_emitted",
@@ -219,5 +277,5 @@ def run_pipeline(
     if checkpoint is not None:
         checkpoint.write_run_summary()
     return MatchResult(
-        clusters=clusters, edges=edges, scored_pairs=scored, counters=counters
+        clusters=clusters, edges=edges, scored_pairs=reranked, counters=counters
     )
