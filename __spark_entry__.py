@@ -397,6 +397,81 @@ def q23_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_string_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 rerank metrics: Jaro-Winkler + normalized Levenshtein on pairs."""
+    from semantic_entity_matching_spark.functions.similarity import (
+        jaro_winkler_udf,
+        levenshtein_similarity_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(jaro_winkler_udf(F.col("text_a"), F.col("text_b")), 6).alias("jw"),
+        F.round(levenshtein_similarity_expr("text_a", "text_b"), 6).alias(
+            "lev_sim"
+        ),
+    )
+
+
+def q25_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 JSON parse: extract typed field from the events props payload."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+def q26_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4 audit aggregates: per-label vector counts / null counts / dim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("embedding").isNull().cast("bigint")).alias("n_null"),
+        F.max(F.size("embedding")).cast("bigint").alias("dim"),
+    )
+
+
+def q27_gold_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 gold-label rank join: self-retrieval rank per query via BM25."""
+    from semantic_entity_matching_spark.operators.search import (
+        evaluate_gold_ranks,
+        lexical_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    corpus = docs.select(F.col("doc_id").alias("candidate_id"), "text")
+    hits = lexical_topk(queries_df, corpus, k=50, score_round=6)
+    gold = queries_df.select("query_id", F.col("query_id").alias("gold_id"))
+    return evaluate_gold_ranks(hits, gold)
+
+
+def q28_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 top-k accuracy metric over the gold ranks (reference
+    lib/evaluate.py:20-34 percentages)."""
+    ranks = q27_gold_rank_eval(spark, sf_dir)
+    return ranks.agg(
+        F.round(
+            F.sum((F.col("rank") <= 1).cast("long")) / F.count("*") * 100.0, 4
+        ).alias("top1_pct"),
+        F.round(
+            F.sum((F.col("rank") <= 5).cast("long")) / F.count("*") * 100.0, 4
+        ).alias("top5_pct"),
+        F.round(
+            F.sum((F.col("rank") <= 10).cast("long")) / F.count("*") * 100.0, 4
+        ).alias("top10_pct"),
+        F.count("*").alias("n_queries"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -422,6 +497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_minhash_neardup": q21_minhash_neardup,
         "q22_simhash_neardup": q22_simhash_neardup,
         "q23_entity_clusters": q23_entity_clusters,
+        "q24_string_sims": q24_string_sims,
+        "q25_json_props": q25_json_props,
+        "q26_embedding_audit": q26_embedding_audit,
+        "q27_gold_rank_eval": q27_gold_rank_eval,
+        "q28_topk_accuracy": q28_topk_accuracy,
     }
 
 
@@ -729,6 +809,103 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+    """
+
+    sql["q24_string_sims"] = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(jaro_winkler_similarity(a.text, b.text), 6) AS jw,
+               round(CASE WHEN greatest(length(a.text), length(b.text)) = 0
+                          THEN 1.0
+                          ELSE 1.0 - levenshtein(a.text, b.text)::DOUBLE
+                               / greatest(length(a.text), length(b.text))
+                     END, 6) AS lev_sim
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """
+
+    sql["q25_json_props"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    """
+
+    sql["q26_embedding_audit"] = """
+        SELECT label,
+               count(*) AS n_vectors,
+               CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(max(len(embedding)) AS BIGINT) AS dim
+        FROM embeddings GROUP BY label
+    """
+
+    _bm25_cte = """
+        WITH corpus AS (
+            SELECT doc_id AS candidate_id, text FROM documents
+        ), q AS (
+            SELECT doc_id AS query_id, text AS query_text
+            FROM documents WHERE doc_id < 50
+        ), terms0 AS (
+            SELECT candidate_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x <> '')) AS term
+            FROM corpus
+        ), terms AS (
+            SELECT candidate_id, term, count(*) AS tf
+            FROM terms0 GROUP BY candidate_id, term
+        ), with_dl AS (
+            SELECT *, sum(tf) OVER (PARTITION BY candidate_id) AS dl FROM terms
+        ), stats AS (
+            SELECT sum(tf)::DOUBLE / count(DISTINCT candidate_id) AS avgdl
+            FROM terms
+        ), dfreq AS (
+            SELECT term, count(DISTINCT candidate_id) AS df FROM terms GROUP BY term
+        ), idf AS (
+            SELECT term,
+                   ln(1.0 + ((SELECT count(*) FROM corpus) - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfreq
+        ), qterms AS (
+            SELECT DISTINCT query_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(query_text), '\\W+'),
+                       x -> x <> '')) AS term
+            FROM q
+        ), scored AS (
+            SELECT qt.query_id, t.candidate_id,
+                   round(sum(i.idf * (t.tf * (1.2 + 1.0))
+                       / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))), 6) AS score
+            FROM qterms qt
+            JOIN with_dl t ON qt.term = t.term
+            JOIN idf i ON qt.term = i.term
+            CROSS JOIN stats s
+            GROUP BY qt.query_id, t.candidate_id
+        ), ranked AS (
+            SELECT query_id, candidate_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, candidate_id ASC) AS rank
+            FROM scored
+        ), hits AS (
+            SELECT query_id, candidate_id, rank FROM ranked WHERE rank <= 50
+        ), gold_ranks AS (
+            SELECT q.query_id, h.rank
+            FROM q LEFT JOIN hits h
+              ON h.query_id = q.query_id AND h.candidate_id = q.query_id
+        )
+    """
+
+    sql["q27_gold_rank_eval"] = _bm25_cte + """
+        SELECT query_id, rank FROM gold_ranks
+    """
+
+    sql["q28_topk_accuracy"] = _bm25_cte + """
+        SELECT round(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) * 100.0, 4) AS top1_pct,
+               round(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) * 100.0, 4) AS top5_pct,
+               round(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) * 100.0, 4) AS top10_pct,
+               count(*) AS n_queries
+        FROM gold_ranks
     """
 
     # q21 (MinHash banding), q22 (SimHash), q23 (iterative CC): not

@@ -118,9 +118,16 @@ def jaro_py(s1: str, s2: str) -> float:
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
-def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
-    """Standard Jaro-Winkler with prefix scale 0.1, prefix cap 4."""
+def jaro_winkler_py(
+    s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7
+) -> float:
+    """Standard Jaro-Winkler: prefix scale 0.1, prefix cap 4, and Winkler's
+    boost threshold — the prefix bonus applies only when jaro > 0.7 (the
+    original Winkler'90 definition, matched by DuckDB/rapidfuzz; verified
+    cross-engine in __spark_entry__ q24)."""
     jaro = jaro_py(s1, s2)
+    if jaro <= boost_threshold:
+        return jaro
     prefix = 0
     for c1, c2 in zip(s1[:4], s2[:4]):
         if c1 == c2:

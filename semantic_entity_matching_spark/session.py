@@ -61,9 +61,18 @@ def get_session(
         # the right trade at 100 TB (cheap CPU, splittable with parquet).
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    # Local mode: shuffle spill files on the default /tmp disk serialize the
+    # whole job behind one spindle once >8 threads write at once (measured
+    # 2-3x stage slowdowns at local[32]).  A cluster has per-executor local
+    # SSDs; the tmpfs stand-in restores that assumption locally.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

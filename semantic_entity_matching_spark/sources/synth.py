@@ -205,3 +205,81 @@ def webpages_from_documents(
             F.col("lang"),
         )
     )
+
+
+def synth_webpages_distributed(
+    spark: SparkSession,
+    n_pages: int = 100_000,
+    words_per_page: int = 300,
+    vocab_size: int = 30_000,
+    variants_per_entity: int = 3,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Web-scale synthetic corpus, generated IN Spark (no driver-side list).
+
+    Page ``id`` belongs to entity ``id // variants_per_entity``; all pages
+    of one entity are near-duplicate variants of the same base text, so the
+    duplicate structure is recoverable from the url
+    (``https://e<entity>.example.org/v<k>``) without a driver-side gold
+    list.  A ``vocab_size``-word hashed vocabulary makes unrelated pages
+    genuinely dissimilar (unlike the tiny fixture vocabulary, where every
+    long page contains the whole vocab and token-set blocking saturates).
+
+    Deterministic per page id regardless of partitioning: the per-entity
+    RNG is seeded from (seed, entity).  Generation is a mapInPandas over
+    ``spark.range`` — scales with cores/executors like any other stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def _vocab() -> np.ndarray:
+        # letter-based words (4-9 chars): realistic char-ngram diversity —
+        # a "w<hex>" scheme collapses the 3-gram space and makes every long
+        # page look identical to n-gram features
+        rng = np.random.RandomState(seed ^ 0x5EED)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        lens = rng.randint(4, 10, size=vocab_size)
+        flat = rng.randint(0, 26, size=int(lens.sum()))
+        out, pos = [], 0
+        for ln in lens:
+            out.append("".join(letters[flat[pos : pos + ln]]))
+            pos += ln
+        return np.array(out, dtype=object)
+
+    def gen(batches):
+        vocab = _vocab()
+        for batch in batches:
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            cache: dict[int, np.ndarray] = {}
+            for pid in batch["id"].to_numpy():
+                ent, v = divmod(int(pid), variants_per_entity)
+                base = cache.get(ent)
+                if base is None:
+                    rng = np.random.RandomState((seed * 1_000_003 + ent) % (2**31 - 1))
+                    base = rng.randint(0, vocab_size, size=words_per_page)
+                    if len(cache) > 4096:
+                        cache.clear()
+                    cache[ent] = base
+                words = base.copy()
+                if v == 1 and words_per_page >= 2:   # adjacent swap
+                    words[0], words[1] = words[1], words[0]
+                elif v >= 2:                          # tail tweak
+                    words[-1] = (words[-1] + v) % vocab_size
+                text = " ".join(list(vocab[words]))
+                urls.append(f"https://e{ent:08d}.example.org/v{v}")
+                tss.append(epoch + datetime.timedelta(seconds=int(pid) % 86_400))
+                htmls.append(b"")
+                texts.append(text)
+                langs.append("en")
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts,
+                 "lang": langs}
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    return spark.range(0, n_pages, numPartitions=parts).mapInPandas(
+        gen, schema=WEBPAGES_SCHEMA
+    )
