@@ -472,6 +472,50 @@ def q28_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship read path (J1+W2+F5+P7): embed → kNN
+    retrieve (k = size×overfetch) with a pre-retrieval corpus filter →
+    Jaro-Winkler rerank → top-k truncate.
+
+    Deterministic md5-hash embedding (the reference's own test scheme,
+    test_services_search_service_integration.py:188-202); tiling 16 md5
+    bytes to dim 1024 leaves cosine equal to the 16-dim cosine, which is
+    what the DuckDB oracle computes.
+    """
+    from semantic_entity_matching_spark.functions.embed import HashEmbeddingProvider
+    from semantic_entity_matching_spark.operators.search import search_and_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    embed = HashEmbeddingProvider(dim=1024).udf()
+    corpus = docs.select(
+        F.col("doc_id").alias("candidate_id"),
+        "text",
+        "lang",
+        embed(F.col("text")).alias("embedding"),
+    )
+    queries_df = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+        embed(F.col("text")).alias("embedding"),
+    )
+    out = search_and_rerank(
+        queries_df,
+        corpus,
+        size=10,
+        top_k=5,
+        overfetch=2,
+        corpus_filter=F.col("lang") == "en",
+        score_round=6,
+    )
+    return out.select(
+        "query_id",
+        "candidate_id",
+        F.round(F.col("knn_score"), 6).alias("knn_score"),
+        "rerank_score",
+        "rank",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -502,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_audit": q26_embedding_audit,
         "q27_gold_rank_eval": q27_gold_rank_eval,
         "q28_topk_accuracy": q28_topk_accuracy,
+        "q29_search_rerank": q29_search_rerank,
     }
 
 
@@ -906,6 +951,50 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) * 100.0, 4) AS top10_pct,
                count(*) AS n_queries
         FROM gold_ranks
+    """
+
+    # md5-hash embedding, 16 bytes -> [-1, 1); tiling to dim 1024 leaves
+    # cosine identical to the 16-dim cosine, so the oracle uses 16 dims
+    _md5vec = (
+        "list_transform(range(1, 17), i -> "
+        "((16 * (instr('0123456789abcdef', substr(md5({t}), 2*i - 1, 1)) - 1)"
+        "  + (instr('0123456789abcdef', substr(md5({t}), 2*i, 1)) - 1))::DOUBLE"
+        " / 128.0 - 1.0))"
+    )
+    sql["q29_search_rerank"] = f"""
+        WITH corpus AS (
+            SELECT doc_id AS candidate_id, text,
+                   {_md5vec.format(t='text')} AS v
+            FROM documents WHERE lang = 'en'
+        ), q AS (
+            SELECT doc_id AS query_id, text AS query_text,
+                   {_md5vec.format(t='text')} AS v
+            FROM documents WHERE doc_id < 20
+        ), knn AS (
+            SELECT q.query_id, c.candidate_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS knn_score
+            FROM q, corpus c
+        ), r1 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY knn_score DESC, candidate_id ASC
+            ) AS rk FROM knn
+        ), hits AS (
+            SELECT query_id, candidate_id, knn_score FROM r1 WHERE rk <= 20
+        ), rr AS (
+            SELECT h.query_id, h.candidate_id, h.knn_score,
+                   round(jaro_winkler_similarity(q.query_text, c.text), 6)
+                       AS rerank_score
+            FROM hits h
+            JOIN q ON q.query_id = h.query_id
+            JOIN corpus c ON c.candidate_id = h.candidate_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rerank_score DESC, candidate_id ASC) AS rank
+            FROM rr
+        )
+        SELECT query_id, candidate_id, knn_score, rerank_score, rank
+        FROM ranked WHERE rank <= 5
     """
 
     # q21 (MinHash banding), q22 (SimHash), q23 (iterative CC): not

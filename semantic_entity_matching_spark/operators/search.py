@@ -127,6 +127,7 @@ def search_and_rerank(
     overfetch: int = 2,  # reference k = 2 x size (search_query_builder.py:58)
     corpus_filter: Column | None = None,
     retriever=brute_force_topk,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Vector retrieval (k = size x overfetch) + string rerank + truncate.
 
@@ -138,6 +139,7 @@ def search_and_rerank(
     """
     if corpus_filter is not None:
         corpus = corpus.filter(corpus_filter)
+    retr_kwargs = {} if score_round is None else {"score_round": score_round}
     hits = retriever(
         queries,
         corpus,
@@ -145,6 +147,7 @@ def search_and_rerank(
         query_id=query_id,
         corpus_id=corpus_id,
         vec_col=vec_col,
+        **retr_kwargs,
     ).withColumnRenamed("score", "knn_score")
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_text).alias("_qt")
@@ -158,6 +161,10 @@ def search_and_rerank(
         .withColumn("rerank_score", jaro_winkler_udf(F.col("_qt"), F.col("_ct")))
         .drop("_qt", "_ct", "rank")
     )
+    if score_round is not None:
+        reranked = reranked.withColumn(
+            "rerank_score", F.round(F.col("rerank_score"), score_round)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rerank_score"), F.asc("candidate_id")
     )
