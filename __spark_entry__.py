@@ -19,10 +19,18 @@ Cross-engine determinism rules used throughout (SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the engine package lives next to this file; make imports work no matter
+# the caller's working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 SF_SMALL = "/root/testdata/sf0.001"
 
