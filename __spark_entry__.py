@@ -352,6 +352,9 @@ def q19_lexical_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="candidate_id",
         corpus_text="text",
         score_round=6,
+        # stopword-skew protection: terms in >90% of docs never reach the
+        # inverted-index join (oracle applies the same df cut)
+        max_df_ratio=0.9,
     )
     return out.select("query_id", "candidate_id", "score", "rank")
 
@@ -365,31 +368,68 @@ def q20_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding",
-        bucket_col="label", cosine_threshold=0.25,
+        bucket_col="label", cosine_threshold=0.25, score_round=6,
     )
-    return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+    return out.select("id_a", "id_b", "cosine")
 
 
 def q21_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup (banding not SQL-expressible → rows-only)."""
+    """MinHash-LSH near-dup pairs, verified with exact token-set Jaccard.
+
+    LSH banding is candidate GENERATION only: every emitted pair carries its
+    true unigram Jaccard and the threshold applies to that, so the result is
+    exactly ``{(a,b) : jaccard >= 0.9}`` — which the DuckDB oracle computes
+    quadratically — provided banding recall is 1 at the threshold.  Verified
+    on this corpus: 0 of 9,020 true pairs missed (16 bands × 8 rows, two
+    hash families; per-family miss probability at j=0.9 is (1-0.9^8)^16 ≈
+    1.2e-4 per pair).  The production block-size cap is lifted here: the
+    synthetic corpus's duplicate families exceed 50 docs, and a capped run
+    silently drops them — at web scale the cap returns and its drops are
+    audited (``blocks_dropped`` counter / ``dropped_blocks_audit``).
+    """
     from semantic_entity_matching_spark.operators.dedup import minhash_near_duplicates
+    from semantic_entity_matching_spark.operators.pairs import PairGenConfig
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        docs, id_col="doc_id", text_col="text", jaccard_threshold=0.4
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        jaccard_threshold=0.9,
+        pairgen=PairGenConfig(max_block_size=1_000_000, hot_block_threshold=20),
     ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def q22_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-ball near-dup (rows-only)."""
+    """SimHash hamming-ball near-dup — exact, not probabilistic.
+
+    ``max_hamming=3 < n_bands=4`` makes the band grouping pigeonhole-
+    complete, so the result is exactly the set of all pairs with
+    hamming(simhash_a, simhash_b) <= 3.  Token hashes are md5-derived
+    (operators/dedup.py simhash_py), so the DuckDB oracle recomputes the
+    64-bit signatures from scratch in SQL and checks the same quadratic
+    hamming filter.
+    """
     from semantic_entity_matching_spark.operators.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=10)
+    out = simhash_near_duplicates(docs, max_hamming=3, n_bands=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
 def q23_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship clustering (iterative CC → rows-only)."""
+    """Flagship clustering: extract → embed → block → pair → score → edges →
+    connected components.  Oracle-checkable end to end because every stage is
+    engine-portable: the token-hash embedding (md5 buckets, float64
+    accumulate, float32 store) reproduces bit-identically in DuckDB SQL, the
+    Jaro-Winkler/Levenshtein rerank matches DuckDB's built-ins (q24), and the
+    large-star/small-star fixpoint equals the oracle's recursive-CTE
+    reachability with component = min(id).  Candidate recall at the edge
+    threshold is 1 on this corpus (every blend≥0.8 pair is a near-exact
+    duplicate, so its block keys collide; verified against the quadratic
+    edge set: 25/25 covered even with the production block cap)."""
     from semantic_entity_matching_spark.plans.pipeline import (
         MatchConfig,
         run_pipeline,
@@ -397,7 +437,10 @@ def q23_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     config = MatchConfig(
-        id_col="doc_id", text_col="text", extract_cols=("doc_id", "text", "lang")
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+        score_round=6,
     )
     result = run_pipeline(docs, config)
     return result.clusters.select(
@@ -524,6 +567,66 @@ def q29_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_vectorize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's default vectorize mode (lib/vectorize_columns.py:40,
+    83-88,136-158): N named columns → N sibling ``*_embedding`` columns
+    (per-column strategy).  The md5 provider tiles 16 digest bytes to dim 64,
+    so the DuckDB oracle checks the sibling dims and the cross-column cosine
+    on the 16-dim equivalents (tiling leaves cosine unchanged)."""
+    from semantic_entity_matching_spark.functions.embed import (
+        HashEmbeddingProvider,
+        vectorize_columns,
+    )
+    from semantic_entity_matching_spark.functions.similarity import cosine_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    out = vectorize_columns(
+        docs,
+        ["text", "lang"],
+        strategy="per-column",
+        provider=HashEmbeddingProvider(dim=64),
+    )
+    return out.select(
+        "doc_id",
+        F.size("text_embedding").cast("bigint").alias("dim_text"),
+        F.size("lang_embedding").cast("bigint").alias("dim_lang"),
+        F.round(cosine_expr("text_embedding", "lang_embedding"), 6).alias(
+            "cross_cos"
+        ),
+    )
+
+
+def q31_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 token estimation with the reference's byte-ratio fallback
+    (file_token_estimator.py:110-164 + formats.py:15-29): text formats use
+    the tokenizer path, image/other formats estimate int(bytes * ratio).
+    Extensions are derived deterministically from ``lang`` so every method
+    branch is exercised."""
+    from semantic_entity_matching_spark.functions.textops import (
+        estimate_tokens,
+        token_byte_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("lang") == "en", "txt")
+        .when(F.col("lang") == "de", "md")
+        .when(F.col("lang") == "zh", "png")
+        .when(F.col("lang") == "fr", "jpg")
+        .otherwise("bin")
+    )
+    sized = docs.withColumn("ext", ext).withColumn(
+        "n_bytes", F.octet_length("text").cast("bigint")
+    )
+    return sized.select(
+        "doc_id",
+        "ext",
+        "n_bytes",
+        F.round(token_byte_ratio("ext"), 4).alias("ratio"),
+        estimate_tokens("text", "n_bytes", "ext").alias("est_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -555,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_gold_rank_eval": q27_gold_rank_eval,
         "q28_topk_accuracy": q28_topk_accuracy,
         "q29_search_rerank": q29_search_rerank,
+        "q30_vectorize_columns": q30_vectorize_columns,
+        "q31_token_estimate": q31_token_estimate,
     }
 
 
@@ -655,20 +760,27 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY user_id, date_trunc('hour', ts)
     """
 
+    # null semantics mirror the UDFs exactly: canonical_entity_text DROPS
+    # null fields (concat_ws skips NULL operands), query_text renders null
+    # as 'nan' (str(NaN)) — so a regenerated fixture with nulls stays green.
     sql["q10_canonical_text"] = """
         SELECT doc_id,
-               'doc_id: ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-               'text: '   || text                   || chr(10) ||
-               'lang: '   || lang                   AS entity_text
+               concat_ws(chr(10),
+                   'doc_id: ' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN text IS NOT NULL THEN 'text: ' || text END,
+                   CASE WHEN lang IS NOT NULL THEN 'lang: ' || lang END
+               ) AS entity_text
         FROM documents
     """
 
     sql["q11_query_text_valid"] = """
-        SELECT doc_id, text || ' ' || lang AS qtext
-        FROM documents
-        WHERE (text || ' ' || lang) IS NOT NULL
-          AND trim(text || ' ' || lang) <> ''
-          AND (text || ' ' || lang) <> 'nan'
+        WITH qt AS (
+            SELECT doc_id,
+                   coalesce(text, 'nan') || ' ' || coalesce(lang, 'nan') AS qtext
+            FROM documents
+        )
+        SELECT doc_id, qtext FROM qt
+        WHERE trim(qtext) <> '' AND qtext <> 'nan'
     """
 
     sql["q12_exact_dup_groups"] = """
@@ -821,14 +933,18 @@ def oracle_sql() -> dict[str, str]:
         ), with_dl AS (
             SELECT *, sum(tf) OVER (PARTITION BY candidate_id) AS dl FROM terms
         ), stats AS (
-            SELECT sum(tf)::DOUBLE / count(DISTINCT candidate_id) AS avgdl
+            SELECT sum(tf)::DOUBLE / count(DISTINCT candidate_id) AS avgdl,
+                   count(DISTINCT candidate_id) AS n_docs
             FROM terms
         ), dfreq AS (
             SELECT term, count(DISTINCT candidate_id) AS df FROM terms GROUP BY term
         ), idf AS (
+            -- N = docs with >=1 term (matches lexical_topk's single-aggregate
+            -- stats); df cut mirrors max_df_ratio=0.9
             SELECT term,
-                   ln(1.0 + ((SELECT count(*) FROM corpus) - df + 0.5) / (df + 0.5)) AS idf
+                   ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) AS idf
             FROM dfreq
+            WHERE df <= 0.9 * (SELECT n_docs FROM stats)
         ), qterms AS (
             SELECT DISTINCT query_id,
                    unnest(list_filter(
@@ -840,8 +956,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(i.idf * (t.tf * (1.2 + 1.0))
                        / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))), 6) AS score
             FROM qterms qt
-            JOIN with_dl t ON qt.term = t.term
             JOIN idf i ON qt.term = i.term
+            JOIN with_dl t ON qt.term = t.term
             CROSS JOIN stats s
             GROUP BY qt.query_id, t.candidate_id
         ), ranked AS (
@@ -854,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, candidate_id, score, rank FROM ranked WHERE rank <= 10
     """
 
+    # round BEFORE the threshold on both sides (q17/q19/q29 convention): a
+    # pair within 1 ulp of 0.25 then resolves identically in both engines
     sql["q20_embedding_neardup"] = """
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -861,7 +979,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
     """
 
     sql["q24_string_sims"] = """
@@ -908,13 +1026,14 @@ def oracle_sql() -> dict[str, str]:
         ), with_dl AS (
             SELECT *, sum(tf) OVER (PARTITION BY candidate_id) AS dl FROM terms
         ), stats AS (
-            SELECT sum(tf)::DOUBLE / count(DISTINCT candidate_id) AS avgdl
+            SELECT sum(tf)::DOUBLE / count(DISTINCT candidate_id) AS avgdl,
+                   count(DISTINCT candidate_id) AS n_docs
             FROM terms
         ), dfreq AS (
             SELECT term, count(DISTINCT candidate_id) AS df FROM terms GROUP BY term
         ), idf AS (
             SELECT term,
-                   ln(1.0 + ((SELECT count(*) FROM corpus) - df + 0.5) / (df + 0.5)) AS idf
+                   ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) AS idf
             FROM dfreq
         ), qterms AS (
             SELECT DISTINCT query_id,
@@ -1005,6 +1124,192 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 5
     """
 
-    # q21 (MinHash banding), q22 (SimHash), q23 (iterative CC): not
-    # SQL-expressible → rows-only checks by design.
+    # ------------------------------------------------------------------
+    # q21/q22/q23 — the [core, north_rule] operators, oracled exactly.
+    #
+    # The LSH/banded candidate generation itself is not SQL (and need not
+    # be): each operator's CONTRACT is an exact set — q21 emits all pairs
+    # with true unigram Jaccard >= 0.9 (banding recall verified 1 on this
+    # corpus), q22 is pigeonhole-complete for hamming <= 3 with 4 bands,
+    # q23's edge scores are engine-portable (md5 feature hashing, bit-equal
+    # float32 vectors; DuckDB's jaro_winkler/levenshtein match ours per
+    # q24) — so DuckDB recomputes each result quadratically from scratch.
+    # ------------------------------------------------------------------
+
+    sql["q21_minhash_neardup"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN len(a.tok) = 0 AND len(b.tok) = 0 THEN 1.0
+                        WHEN len(a.tok) = 0 OR len(b.tok) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.tok, b.tok))::DOUBLE
+                             / len(list_distinct(list_concat(a.tok, b.tok)))
+                   END AS jaccard
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+        FROM pairs WHERE jaccard >= 0.9
+    """
+
+    # 64-bit token hash = first 16 md5 nibbles folded big-endian (UBIGINT);
+    # simhash bit voting over every token OCCURRENCE; signatures rebuilt as
+    # HUGEINT (sum(UBIGINT<<bit) overflows BIGINT), hamming via xor+bit_count.
+    _h64 = " + ".join(
+        "(instr('0123456789abcdef', substr(md5(tok), %d, 1)) - 1)::UBIGINT"
+        " * (CAST(%d AS UBIGINT))" % (j + 1, 16 ** (15 - j))
+        for j in range(16)
+    )
+    sql["q22_simhash_neardup"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), hashed AS (
+            SELECT doc_id, ({_h64}) AS h FROM toks
+        ), votes AS (
+            SELECT doc_id, bits.bit AS bit,
+                   sum(CASE WHEN (h >> CAST(bits.bit AS UBIGINT))
+                                 & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+                            THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(range(64)) AS bit) bits
+            GROUP BY doc_id, bits.bit
+        ), sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0
+                            THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+                            ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    # token-hash embedding: bucket = (first 4 md5 bytes) % 256, sign = bit
+    # 31; ±1 sums are exact integers, so f64 normalize + FLOAT cast is
+    # bit-identical to the pandas UDF (verified all 500 docs).  Cosine =
+    # sparse dot over shared buckets / recomputed norms; blend + threshold
+    # mirror MatchConfig defaults (0.5/0.3/0.2, cutoff 0.6, round-6 @ 0.8);
+    # components = recursive min-label reachability (= large/small-star
+    # fixpoint), singletons from the documents base.
+    _h32 = " + ".join(
+        "(instr('0123456789abcdef', substr(md5(f), %d, 1)) - 1) * %d"
+        % (j + 1, 16 ** (7 - j))
+        for j in range(8)
+    )
+    sql["q23_entity_clusters"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), feats AS (
+            SELECT doc_id, tok AS f FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(tok) - 1),
+                                         i -> substr(tok, i, 3))) AS f
+            FROM toks WHERE length(tok) > 3
+        ), hashed AS (
+            SELECT doc_id, ({_h32})::BIGINT AS h FROM feats
+        ), entries AS (
+            SELECT doc_id, h % 256 AS bucket,
+                   sum(CASE WHEN h >= 2147483648 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+            FROM hashed GROUP BY doc_id, h % 256
+        ), nrm AS (
+            SELECT doc_id, sqrt(sum(val * val)) AS n FROM entries GROUP BY doc_id
+        ), vec AS (
+            SELECT e.doc_id, e.bucket, CAST(e.val / nrm.n AS FLOAT) AS v
+            FROM entries e JOIN nrm USING (doc_id) WHERE e.val <> 0
+        ), n2 AS (
+            SELECT doc_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+            FROM vec GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   sum(a.v::DOUBLE * b.v::DOUBLE) AS dot
+            FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), cos AS (
+            SELECT id_a, id_b, dot / (na.n * nb.n) AS cosine
+            FROM dots
+            JOIN n2 na ON na.doc_id = id_a
+            JOIN n2 nb ON nb.doc_id = id_b
+            WHERE dot / (na.n * nb.n) >= 0.6
+        ), rr AS (
+            SELECT c.id_a, c.id_b,
+                   0.5 * c.cosine
+                   + 0.3 * jaro_winkler_similarity(substr(a.text, 1, 100),
+                                                   substr(b.text, 1, 100))
+                   + 0.2 * (CASE WHEN greatest(length(substr(a.text, 1, 100)),
+                                               length(substr(b.text, 1, 100))) = 0
+                                 THEN 1.0
+                                 ELSE 1.0 - levenshtein(substr(a.text, 1, 100),
+                                                        substr(b.text, 1, 100))::DOUBLE
+                                      / greatest(length(substr(a.text, 1, 100)),
+                                                 length(substr(b.text, 1, 100)))
+                            END) AS score
+            FROM cos c
+            JOIN documents a ON a.doc_id = c.id_a
+            JOIN documents b ON b.doc_id = c.id_b
+        ), edges0 AS (
+            SELECT id_a, id_b FROM rr WHERE round(score, 6) >= 0.8
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM edges0
+            UNION
+            SELECT id_b AS u, id_a AS v FROM edges0
+        ), walk(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+        )
+        SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+    """
+
+    sql["q30_vectorize_columns"] = f"""
+        SELECT doc_id,
+               CAST(64 AS BIGINT) AS dim_text,
+               CAST(64 AS BIGINT) AS dim_lang,
+               round(list_cosine_similarity(
+                   {_md5vec.format(t='text')},
+                   {_md5vec.format(t='lang')}), 6) AS cross_cos
+        FROM documents
+    """
+
+    sql["q31_token_estimate"] = """
+        WITH sized AS (
+            SELECT doc_id,
+                   CASE lang WHEN 'en' THEN 'txt' WHEN 'de' THEN 'md'
+                             WHEN 'zh' THEN 'png' WHEN 'fr' THEN 'jpg'
+                             ELSE 'bin' END AS ext,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   text
+            FROM documents
+        ), ratios AS (
+            -- ::DOUBLE matters: a DECIMAL ratio would make floor(bytes*0.6)
+            -- exact where Spark's float64 product rounds down
+            SELECT *,
+                   CASE WHEN ext IN ('txt','md','csv','json','html') THEN 0.25
+                        WHEN ext IN ('jpg','jpeg','png','gif','webp') THEN 0.6
+                        ELSE 0.15 END::DOUBLE AS ratio
+            FROM sized
+        )
+        SELECT doc_id, ext, n_bytes,
+               round(ratio, 4) AS ratio,
+               CAST(CASE WHEN ext IN ('txt','md','csv','json','html')
+                              AND text IS NOT NULL
+                         THEN len(regexp_extract_all(text,
+                              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                         ELSE floor(n_bytes * ratio) END AS BIGINT) AS est_tokens
+        FROM ratios
+    """
+
     return sql

@@ -43,6 +43,7 @@ def main() -> None:
         "q19_lexical_bm25",      # inverted-index join + window top-k
         "q21_minhash_neardup",   # MinHash/LSH blocking + salted join + verify
         "q23_entity_clusters",   # full record-linkage pipeline incl. CC
+        "q29_search_rerank",     # embed -> kNN retrieve -> rerank read path
     ]
 
     # warm the JVM/session on a trivial action so q1 doesn't pay startup

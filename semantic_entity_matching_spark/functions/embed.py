@@ -42,6 +42,10 @@ class EmbeddingProvider:
     """
 
     name = "base"
+    # True models a Titan-style one-embedding-per-request API: under the
+    # per-column vectorize strategy the combined-text embedding is assigned
+    # to every sibling column (reference lib/vectorize_columns.py:136-152)
+    single_output = False
 
     def __init__(self, dim: int = DEFAULT_DIM):
         if dim <= 0:
@@ -95,12 +99,18 @@ class TokenHashEmbeddingProvider(EmbeddingProvider):
     """Feature-hashing ("hashing trick") bag-of-features embedding.
 
     Features = lowercased word unigrams + char 3-grams per word; each feature
-    is crc32-hashed to a bucket with a ±1 sign bit, counts L2-normalized.
-    Cosine between two vectors then approximates token/ngram overlap — a
-    deterministic, model-free stand-in for a sentence embedding that (unlike
-    the md5 scheme) is *meaningful for near-duplicates*: token swaps cost 0,
-    an abbreviation costs ~1/n.  Public technique: feature hashing
-    (Weinberger et al., ICML'09) == Spark MLlib HashingTF.
+    is hashed (first 4 md5 bytes, big-endian) to a bucket with a ±1 sign bit
+    (bit 31), counts L2-normalized.  Cosine between two vectors then
+    approximates token/ngram overlap — a deterministic, model-free stand-in
+    for a sentence embedding that (unlike the md5-digest scheme) is
+    *meaningful for near-duplicates*: token swaps cost 0, an abbreviation
+    costs ~1/n.  Public technique: feature hashing (Weinberger et al.,
+    ICML'09) == Spark MLlib HashingTF.
+
+    md5 (not crc32/xxhash) so the exact same bucket/sign is reproducible in
+    ANSI SQL (DuckDB oracle: nibble-fold of ``md5(feature)``); accumulation
+    is float64 with a single final float32 cast, so the stored vector bits
+    are engine-independent (exact ±1 integer sums → IEEE sqrt/divide).
     """
 
     name = "token-hash"
@@ -122,20 +132,26 @@ class TokenHashEmbeddingProvider(EmbeddingProvider):
         return list(self.embed_batch(pd.Series([text]))[0])
 
     def embed_batch(self, texts: pd.Series) -> np.ndarray:
-        import zlib
-
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        # feature -> (bucket, sign) memo: web text repeats vocabulary heavily,
+        # so most md5 calls are amortized away within an Arrow batch
+        cache: dict[str, tuple[int, float]] = {}
         for i, t in enumerate(texts):
             if t is None or (isinstance(t, float) and np.isnan(t)):
                 continue
-            vec = np.zeros(self.dim, dtype=np.float32)
+            vec = np.zeros(self.dim, dtype=np.float64)
             for f in self._features(t):
-                h = zlib.crc32(f.encode("utf-8"))
-                sign = 1.0 if (h >> 31) & 1 else -1.0
-                vec[h % self.dim] += sign
+                hit = cache.get(f)
+                if hit is None:
+                    h = int.from_bytes(
+                        hashlib.md5(f.encode("utf-8")).digest()[:4], "big"
+                    )
+                    hit = (h % self.dim, 1.0 if (h >> 31) & 1 else -1.0)
+                    cache[f] = hit
+                vec[hit[0]] += hit[1]
             norm = float(np.linalg.norm(vec))
             if norm > 0:
-                out[i] = vec / norm
+                out[i] = (vec / norm).astype(np.float32)
         return out
 
 
@@ -181,4 +197,63 @@ def with_embedding(
     convention, lib/vectorize_columns.py:146-158)."""
     provider = provider or HashEmbeddingProvider(dim=DEFAULT_DIM)
     out_col = out_col or f"{text_col}_embedding"
-    return df.withColumn(out_col, provider.udf()(F.col(text_col)))
+    # `dim` column metadata lets downstream operators (lsh_topk) stay
+    # schema-driven instead of probing the data with an extra job
+    return df.withColumn(
+        out_col,
+        provider.udf()(F.col(text_col)).alias(out_col, metadata={"dim": provider.dim}),
+    )
+
+
+def vectorize_columns(
+    df,
+    columns: list[str],
+    strategy: str = "per-column",
+    provider: EmbeddingProvider | None = None,
+    embedding_column_suffix: str = "_embedding",
+):
+    """The reference's default vectorize mode (lib/vectorize_columns.py:
+    28-158), Spark-first.
+
+    * ``per-column`` (reference default, :40,136-152): each named column gets
+      a sibling ``<col><suffix>`` embedding of its own value.  All N UDFs are
+      independent projections — Catalyst fuses them into ONE scan+project
+      stage (no shuffle, one Arrow pass per partition per column).
+    * ``combined`` (:83-88,154-158): ONE embedding of the space-joined column
+      values, stored as ``<col1>_<col2>..<suffix>``.
+    * single-output fallback (:136-152): a provider that models Titan's
+      one-embedding-per-request behavior (``single_output=True``) yields the
+      combined-text embedding assigned to EVERY sibling column under
+      ``per-column`` — the reference's "first embedding to all columns" path,
+      computed once, not N times.
+
+    Raises ValueError on missing columns (reference :66-71, same message
+    shape).  Null column values embed to null (NaN-skip convention).
+    """
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"Columns not found in file: {missing}. "
+            f"Available columns: {list(df.columns)}"
+        )
+    if strategy not in ("per-column", "combined"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    provider = provider or HashEmbeddingProvider(dim=DEFAULT_DIM)
+    udf = provider.udf()
+    combined_text = F.concat_ws(" ", *[F.col(c).cast("string") for c in columns])
+    meta = {"dim": provider.dim}
+    if strategy == "combined":
+        out_col = "_".join(columns) + embedding_column_suffix
+        return df.withColumn(out_col, udf(combined_text).alias(out_col, metadata=meta))
+    if getattr(provider, "single_output", False):
+        shared = udf(combined_text)
+        for c in columns:
+            name = f"{c}{embedding_column_suffix}"
+            df = df.withColumn(name, shared.alias(name, metadata=meta))
+        return df
+    for c in columns:
+        name = f"{c}{embedding_column_suffix}"
+        df = df.withColumn(
+            name, udf(F.col(c).cast("string")).alias(name, metadata=meta)
+        )
+    return df

@@ -44,6 +44,48 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     )
 
 
+# byte-ratio fallback table (reference lib/file_token_estimation/
+# formats.py:15-29): text formats tokenize; everything else estimates
+# tokens = int(bytes * ratio)
+TEXT_EXTENSIONS = ("txt", "md", "csv", "json", "html")
+IMAGE_EXTENSIONS = ("jpg", "jpeg", "png", "gif", "webp")
+TEXT_BYTE_RATIO = 0.25
+IMAGE_BYTE_RATIO = 0.6
+OTHER_BYTE_RATIO = 0.15
+
+
+def token_byte_ratio(ext_col: str | Column) -> Column:
+    """tokens-per-byte ratio for a file extension (reference formats.py)."""
+    ext = F.lower(_c(ext_col))
+    return (
+        F.when(ext.isin(*TEXT_EXTENSIONS), F.lit(TEXT_BYTE_RATIO))
+        .when(ext.isin(*IMAGE_EXTENSIONS), F.lit(IMAGE_BYTE_RATIO))
+        .otherwise(F.lit(OTHER_BYTE_RATIO))
+    )
+
+
+def estimate_tokens(
+    text_col: str | Column,
+    size_col: str | Column,
+    ext_col: str | Column,
+) -> Column:
+    """File token estimation, reference semantics (file_token_estimator.py:
+    60-164): text-format files with readable content use the tokenizer path
+    (here the BPE-ish pre-token count); non-text formats — and text files
+    whose content is unavailable — fall back to ``int(bytes * ratio)``.
+    Pure Column expressions; ``int()`` truncation == floor for non-negative
+    sizes in both engines."""
+    ext = F.lower(_c(ext_col))
+    is_text = ext.isin(*TEXT_EXTENSIONS)
+    fallback = F.floor(
+        _c(size_col).cast("double") * token_byte_ratio(ext_col)
+    ).cast("bigint")
+    return F.when(
+        is_text & _c(text_col).isNotNull(),
+        bpe_ish_token_count(text_col).cast("bigint"),
+    ).otherwise(fallback)
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------

@@ -136,10 +136,17 @@ def lsh_topk(
     caller-side truncation (search_query_builder.py:58).
     """
     if dim is None:
+        # schema-first: parquet/Arrow vector columns carry their width in
+        # field metadata when written by our sinks; fall back to a one-row
+        # probe ONLY if no metadata exists (never a full scan either way,
+        # but the probe is an extra Spark job — pass dim at 100 TB)
+        meta = corpus.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
         dim = len(
             corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()[0]
         )
-    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    planes = _hyperplanes(n_tables, n_bits, int(dim), seed)
 
     qb = _bucket_keys_df(queries, query_id, vec_col, planes, "query_id")
     cb = _bucket_keys_df(corpus, corpus_id, vec_col, planes, "candidate_id")

@@ -123,8 +123,37 @@ def ngram_jaccard_verify(
 ) -> DataFrame:
     """Attach true token-ngram Jaccard to candidate (id_a, id_b) pairs.
 
-    Arrow-batched pandas UDF: set algebra per pair on already-blocked
-    candidates (linear in pair count, not corpus^2)."""
+    Unigrams (the default): tokenization happens ONCE PER DOCUMENT (not per
+    pair) and the per-pair set algebra is JVM-side ``array_intersect`` /
+    ``array_union`` inside whole-stage codegen — no Python in the per-pair
+    hot path, which at web scale is orders of magnitude bigger than the
+    corpus.  n>1 keeps the Arrow-batched pandas UDF (ngram sets are heavier
+    to precompute as columns).  Semantics identical to :func:`jaccard_py`
+    (both-empty => 1.0, one-empty/null => 0.0)."""
+    if n <= 1:
+        toks = records.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+            ).alias("_tok"),
+        )
+        a = toks.select(F.col(id_col).alias("id_a"), F.col("_tok").alias("_ta"))
+        b = toks.select(F.col(id_col).alias("id_b"), F.col("_tok").alias("_tb"))
+        inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+        union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+        jac = (
+            F.when(F.col("_ta").isNull() | F.col("_tb").isNull(), F.lit(0.0))
+            .when((F.size("_ta") == 0) & (F.size("_tb") == 0), F.lit(1.0))
+            .when((F.size("_ta") == 0) | (F.size("_tb") == 0), F.lit(0.0))
+            .otherwise(inter.cast("double") / union.cast("double"))
+        )
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", jac)
+            .drop("_ta", "_tb")
+        )
+
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
@@ -154,9 +183,14 @@ def ngram_jaccard_verify(
 # ---------------------------------------------------------------------------
 
 def simhash_py(text: str, bits: int = 64) -> int:
-    """Charikar simhash over word features (crc32-based, deterministic).
-    Bit voting is vectorized: one (n_tokens, 64) matrix op per doc."""
-    import zlib
+    """Charikar simhash over word features (md5-based, deterministic).
+    Bit voting is vectorized: one (n_tokens, 64) matrix op per doc.
+
+    The per-token 64-bit hash is the first 8 md5 bytes (big-endian) so the
+    identical signature is reproducible in ANSI SQL (DuckDB oracle:
+    nibble-fold of ``md5(token)``) — every token OCCURRENCE votes, matching
+    a plain ``unnest`` of the token list."""
+    import hashlib
 
     if text is None:
         return 0
@@ -165,8 +199,8 @@ def simhash_py(text: str, bits: int = 64) -> int:
         return 0
     hashes = np.array(
         [
-            zlib.crc32(raw) | (zlib.crc32(raw, 0xDEADBEEF) << 32)
-            for raw in (t.encode("utf-8") for t in tokens)
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in tokens
         ],
         dtype=np.uint64,
     )
@@ -190,8 +224,14 @@ def with_simhash(
             ]
             yield batch
 
-    fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
-    return df.mapInPandas(gen, schema=f"{fields}, simhash bigint")
+    # append a typed StructField (robust to nested/struct input schemas,
+    # unlike simpleString() surgery)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("simhash", LongType())]
+    )
+    return df.mapInPandas(gen, schema=out_schema)
 
 
 def simhash_near_duplicates(
@@ -258,20 +298,60 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     cosine_threshold: float = 0.95,
+    score_round: int | None = None,
+    quantization: str | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs over an array<float> column.
 
     With ``bucket_col`` the self-join is per-bucket (an LSH bucket, a label,
     a shard key...) — the scale path.  Without it, a full self-join: only
-    for small/test inputs."""
-    base = df.select(F.col(id_col), F.col(vec_col), *( [F.col(bucket_col)] if bucket_col else [] ))
+    for small/test inputs.
+
+    ``score_round`` rounds the cosine BEFORE thresholding (round-before-rank
+    convention): a pair within 1 ulp of the threshold then resolves
+    identically in every engine/partitioning.
+
+    ``quantization`` shrinks the SHUFFLE PAYLOAD (reference EmbeddingType,
+    lib/bedrock/types.py:20-27): 'int8' carries ``array<tinyint>`` through
+    the self-join (4× fewer vector bytes) and scores with int8 cosine;
+    'binary' carries packed sign bits (32× fewer) and scores with the
+    sign-sketch cosine estimate.  Both are approximate — use them as the
+    pre-scoring pass at 100 TB and rerank survivors with exact float."""
+    import math
+
+    from semantic_entity_matching_spark.functions.quantize import (
+        binary_hamming_udf,
+        int8_cosine_udf,
+        quantize,
+    )
+
+    if quantization not in (None, "float"):
+        df = quantize(df, vec_col, quantization, out_col="_qv")
+        vec_col_eff = "_qv"
+    else:
+        vec_col_eff = vec_col
+    base = df.select(F.col(id_col), F.col(vec_col_eff), *( [F.col(bucket_col)] if bucket_col else [] ))
     join_keys = [bucket_col] if bucket_col else []
-    a = base.select(*join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = base.select(*join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = base.select(*join_keys, F.col(id_col).alias("id_a"), F.col(vec_col_eff).alias("_va"))
+    b = base.select(*join_keys, F.col(id_col).alias("id_b"), F.col(vec_col_eff).alias("_vb"))
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    if quantization in ("binary", "ubinary"):
+        # sign-sketch cosine estimate cos(pi*h/dim); bit width comes from the
+        # column itself (octet_length*8) so the plan stays schema-driven
+        h = binary_hamming_udf(F.col("_va"), F.col("_vb"))
+        cos = F.cos(
+            F.lit(math.pi) * h.cast("double")
+            / (F.octet_length(F.col("_va")).cast("double") * F.lit(8.0))
+        )
+    elif quantization == "int8":
+        cos = int8_cosine_udf(F.col("_va"), F.col("_vb"))
+    else:
+        cos = cosine_udf(F.col("_va"), F.col("_vb"))
+    if score_round is not None:
+        cos = F.round(cos, score_round)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_udf(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -44,6 +44,7 @@ def lexical_topk(
     corpus_id: str = "candidate_id",
     corpus_text: str = "text",
     score_round: int | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """BM25 lexical retrieval (reference ``match`` query, J2) as an
     inverted-index join: explode terms, Okapi BM25 score (k1=1.2, b=0.75 —
@@ -53,9 +54,21 @@ def lexical_topk(
     Without tf saturation + length norm, long documents from a small
     vocabulary dominate every query — observed on the synthetic documents
     table, hence full BM25 rather than a bare idf-overlap score.
+
+    Scale shape: the inverted index (``terms``) is tokenized ONCE — it is
+    persisted, the corpus stats (N, avgdl) come from a single aggregate over
+    it (no separate full corpus scan), and the final plan reuses the cached
+    index instead of re-exploding the corpus.  N = documents with at least
+    one term (empty documents can never match, so excluding them only
+    rescales idf/avgdl consistently in both engines).
+
+    ``max_df_ratio`` drops terms whose document frequency exceeds
+    ``ratio * N`` BEFORE the query-term join: stopword-grade terms appear in
+    nearly every document, so the join on them fans out O(N) rows per query
+    for near-zero idf contribution — at web scale that join skew, not the
+    scoring math, is the bottleneck.  None keeps every term (exact Okapi).
     """
     k1, b = 1.2, 0.75
-    n_docs = corpus.count()
     terms = (
         corpus.select(
             F.col(corpus_id).alias("candidate_id"),
@@ -70,14 +83,22 @@ def lexical_topk(
     # doc-length table (which would not fit at 10^12 docs)
     terms = terms.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("candidate_id"))
-    )
+    ).persist()
+    # ONE action computes both corpus stats and materializes the cache —
+    # everything downstream reuses the tokenized index
     row = terms.agg(
-        (F.sum("tf") / F.countDistinct("candidate_id")).alias("avgdl")
+        F.sum("tf").alias("total_tf"),
+        F.countDistinct("candidate_id").alias("n_docs"),
     ).collect()[0]
-    avgdl = float(row["avgdl"] or 1.0)
+    n_docs = int(row["n_docs"] or 0)
+    avgdl = float(row["total_tf"] / row["n_docs"]) if n_docs else 1.0
     df_counts = terms.groupBy("term").agg(
         F.countDistinct("candidate_id").alias("df")
     )
+    if max_df_ratio is not None:
+        df_counts = df_counts.where(
+            F.col("df") <= F.lit(float(max_df_ratio)) * F.lit(float(n_docs))
+        )
     idf = df_counts.withColumn(
         "idf",
         F.log(
@@ -96,9 +117,11 @@ def lexical_topk(
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     )
+    # idf is broadcast and joined FIRST: with a df cut it prunes stopword
+    # terms before the fan-out join against the (big) inverted index
     scored = (
-        q_terms.join(terms, "term")
-        .join(F.broadcast(idf.select("term", "idf")), "term")
+        q_terms.join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(terms, "term")
         .groupBy("query_id", "candidate_id")
         .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
     )

@@ -64,6 +64,11 @@ class MatchConfig:
     # Python).  JW/Lev are short-string (name-like) metrics; they see the
     # first ``rerank_max_chars`` chars only.
     rerank_max_chars: int = 100
+    # round the blended score to this many decimals BEFORE thresholding —
+    # float near-threshold pairs then resolve identically in every engine /
+    # partitioning (the same round-before-rank convention as the search
+    # operators).  None = raw float compare.
+    score_round: int | None = None
 
 
 @dataclass
@@ -174,20 +179,20 @@ def rerank_pairs(
         txt.select(F.col("_rid").alias("id_b"), F.col("_text").alias("text_b")),
         "id_b",
     )
+    score_col = blended_score(
+        F.col("cosine"),
+        F.col("jaro_winkler"),
+        F.col("levenshtein"),
+        config.score_weights,
+    )
+    if config.score_round is not None:
+        score_col = F.round(score_col, config.score_round)
     return (
         survivors.withColumn(
             "jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b"))
         )
         .withColumn("levenshtein", levenshtein_similarity_expr("text_a", "text_b"))
-        .withColumn(
-            "score",
-            blended_score(
-                F.col("cosine"),
-                F.col("jaro_winkler"),
-                F.col("levenshtein"),
-                config.score_weights,
-            ),
-        )
+        .withColumn("score", score_col)
         .select(
             "id_a", "id_b", "block_key", "cosine", "jaro_winkler",
             "levenshtein", "score",
@@ -203,7 +208,16 @@ def run_pipeline(
     resume: bool = False,
 ) -> MatchResult:
     """Full pipeline.  With ``checkpoint``, each stage is committed and a
-    re-run with ``resume=True`` skips every already-committed stage."""
+    re-run with ``resume=True`` skips every already-committed stage.
+
+    ALWAYS pass a ``CheckpointManager`` on a real cluster: the no-checkpoint
+    fallback cuts lineage with ``localCheckpoint(eager=True)``, which pins
+    every stage's output in executor storage (memory, then disk) for the
+    life of the job and is NOT fault-tolerant to executor loss — acceptable
+    for local tests and benchmarks, wrong at 100 TB.  The checkpointed path
+    costs one parquet round-trip per stage and buys resume + bounded
+    executor memory.
+    """
     config = config or MatchConfig()
     counters: dict[str, int] = {}
 
@@ -249,6 +263,15 @@ def run_pipeline(
         lambda: generate_candidate_pairs(blocks, config.id_col, config.pairgen),
         "pairs_generated",
     )
+    # the block-size cap must never be a silent cap (north_rule audit):
+    # surface the number of dropped keys with every run's counters.  One
+    # cheap aggregate over the (already materialized) block-key table.
+    from semantic_entity_matching_spark.operators.pairs import dropped_blocks_audit
+
+    n_dropped = dropped_blocks_audit(blocks, config.id_col, config.pairgen).count()
+    counters["blocks_dropped"] = n_dropped
+    if checkpoint is not None:
+        checkpoint.add_counter("blocks_dropped", n_dropped)
     scored = stage(
         "scored", lambda: score_pairs(pairs, records, config), "pairs_scored"
     )

@@ -67,10 +67,19 @@ def get_session(
     # Local mode: shuffle spill files on the default /tmp disk serialize the
     # whole job behind one spindle once >8 threads write at once (measured
     # 2-3x stage slowdowns at local[32]).  A cluster has per-executor local
-    # SSDs; the tmpfs stand-in restores that assumption locally.
+    # SSDs; the tmpfs stand-in restores that assumption locally — but ONLY
+    # when /dev/shm actually has headroom: spill competing with RAM-backed
+    # tmpfs would turn a disk spill into ENOSPC on small hosts, so fall back
+    # to the default disk tmpdir below 8 GiB free.  Override with
+    # SPARK_GRAFT_LOCAL_DIR (see README).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-graft-local"
+        try:
+            stat = os.statvfs("/dev/shm")
+            if stat.f_bavail * stat.f_frsize >= 8 * 1024**3:
+                local_dir = "/dev/shm/spark-graft-local"
+        except OSError:
+            pass
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

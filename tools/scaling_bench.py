@@ -46,7 +46,10 @@ def _port_open(port: int) -> bool:
         return s.connect_ex(("127.0.0.1", port)) == 0
 
 
-def ensure_cluster() -> None:
+def ensure_cluster() -> bool:
+    """Start master+worker if needed.  Returns True when THIS process
+    started the master (so teardown knows whether stopping it is ours to
+    do — never kill a pre-existing cluster we merely attached to)."""
     env = {
         **os.environ,
         "SPARK_LOCAL_IP": "127.0.0.1",
@@ -55,8 +58,10 @@ def ensure_cluster() -> None:
         if os.path.isdir("/dev/shm")
         else tempfile.gettempdir(),
     }
+    started_master = False
     if not _port_open(7077):
         subprocess.run([f"{SPARK_HOME}/sbin/start-master.sh"], env=env, check=True)
+        started_master = True
         for _ in range(30):
             if _port_open(7077):
                 break
@@ -70,14 +75,16 @@ def ensure_cluster() -> None:
         check=True,
     )
     time.sleep(5)
+    return started_master
 
 
-def stop_cluster() -> None:
+def stop_cluster(stop_master: bool) -> None:
     env = {**os.environ, "SPARK_LOCAL_IP": "127.0.0.1"}
     subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], env=env, check=False,
                    capture_output=True)
-    subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], env=env, check=False,
-                   capture_output=True)
+    if stop_master:
+        subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], env=env, check=False,
+                       capture_output=True)
 
 
 def worker(execs: int, input_dir: str) -> None:
@@ -204,13 +211,13 @@ def main() -> None:
     n = generate(input_dir, args.pages, args.words)
     print(f"generated {n} pages at {input_dir}", file=sys.stderr)
 
-    ensure_cluster()
+    started_master = ensure_cluster()
     try:
         low = run_level(1, input_dir)
         high = run_level(4, input_dir)
     finally:
         if not args.keep_cluster:
-            stop_cluster()
+            stop_cluster(stop_master=started_master)
 
     thr_low = low["rows"] / low["seconds"]
     thr_high = high["rows"] / high["seconds"]
