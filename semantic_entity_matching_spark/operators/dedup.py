@@ -325,6 +325,14 @@ def embedding_near_duplicates(
         quantize,
     )
 
+    if quantization not in (None, "float", "int8", "binary", "ubinary"):
+        # uint8 is a storage format (reference EmbeddingType.UINT8), not a
+        # scoring format: its shifted-positive values need centering before
+        # cosine — refuse rather than silently compute the wrong similarity
+        raise ValueError(
+            f"unsupported quantization for near-dup scoring: {quantization!r}"
+            " (use None/'float', 'int8', 'binary' or 'ubinary')"
+        )
     if quantization not in (None, "float"):
         df = quantize(df, vec_col, quantization, out_col="_qv")
         vec_col_eff = "_qv"

@@ -200,12 +200,16 @@ def rerank_pairs(
     )
 
 
+N_PIPELINE_STAGES = 7  # records, blocks, pairs, scored, reranked, edges, clusters
+
+
 def run_pipeline(
     pages: DataFrame,
     config: MatchConfig | None = None,
     provider: EmbeddingProvider | None = None,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
+    reporter=None,
 ) -> MatchResult:
     """Full pipeline.  With ``checkpoint``, each stage is committed and a
     re-run with ``resume=True`` skips every already-committed stage.
@@ -218,10 +222,15 @@ def run_pipeline(
     costs one parquet round-trip per stage and buys resume + bounded
     executor memory.
     """
+    from semantic_entity_matching_spark.plans.reporting import NullReporter
+
     config = config or MatchConfig()
     counters: dict[str, int] = {}
+    reporter = reporter or NullReporter()
+    reporter.start_progress(total=N_PIPELINE_STAGES)
+    stage_idx = [0]
 
-    def stage(name: str, build, counter_of=None) -> DataFrame:
+    def _stage_inner(name: str, build, counter_of) -> DataFrame:
         if checkpoint is not None:
             if resume and checkpoint.exists(name):
                 df = checkpoint.read(name)
@@ -229,6 +238,7 @@ def run_pipeline(
                 counters.update(resumed)
                 for k, v in resumed.items():  # keep run-summary totals complete
                     checkpoint.add_counter(k, v)
+                reporter.on_message(f"stage {name}: resumed from checkpoint")
                 return df
             df = build()
             n = df.count()
@@ -242,6 +252,15 @@ def run_pipeline(
         df = build().localCheckpoint(eager=True)
         if counter_of:
             counters[counter_of] = df.count()
+        return df
+
+    def stage(name: str, build, counter_of=None) -> DataFrame:
+        stage_idx[0] += 1
+        reporter.on_message(f"stage {name}")
+        df = _stage_inner(name, build, counter_of)
+        if counter_of and counter_of in counters:
+            reporter.on_message(f"stage {name}: {counter_of}={counters[counter_of]}")
+        reporter.on_progress(stage_idx[0])
         return df
 
     records = stage(
@@ -299,6 +318,7 @@ def run_pipeline(
     )
     if checkpoint is not None:
         checkpoint.write_run_summary()
+    reporter.stop_progress()
     return MatchResult(
         clusters=clusters, edges=edges, scored_pairs=reranked, counters=counters
     )

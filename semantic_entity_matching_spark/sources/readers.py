@@ -97,19 +97,103 @@ def read_csv(
     return df
 
 
-def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel via pandas/openpyxl then createDataFrame (reference
-    lib/data_reader.py:51-69).  Driver-side by nature — Excel files are
-    small config/catalog artifacts, never the 100 TB path."""
+def _read_xlsx_stdlib(path: str):
+    """Minimal .xlsx parser on the stdlib (zipfile + ElementTree) — an xlsx
+    is a zip of SpreadsheetML parts.  Covers the reference's actual usage
+    (lib/data_reader.py:63-69: first sheet, row 1 = header): shared strings,
+    inline strings, numbers, booleans.  Used when openpyxl is absent."""
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{ns}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+        sheets = sorted(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            raise ValueError(f"no worksheets found in {path}")
+        root = ET.fromstring(z.read(sheets[0]))
+
+    rows: list[dict[int, object]] = []
+    maxcol = 0
+    for row in root.iter(f"{ns}row"):
+        cells: dict[int, object] = {}
+        for c in row.iter(f"{ns}c"):
+            col = 0
+            for ch in c.attrib.get("r", ""):
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            col -= 1
+            ctype = c.attrib.get("t", "n")
+            v = c.find(f"{ns}v")
+            if ctype == "inlineStr":
+                is_el = c.find(f"{ns}is")
+                val = (
+                    "".join(t.text or "" for t in is_el.iter(f"{ns}t"))
+                    if is_el is not None
+                    else None
+                )
+            elif v is None or v.text is None:
+                val = None
+            elif ctype == "s":
+                val = shared[int(v.text)]
+            elif ctype == "b":
+                val = bool(int(v.text))
+            elif ctype == "str":
+                val = v.text
+            else:  # numeric
+                val = (
+                    float(v.text)
+                    if any(ch in v.text for ch in ".eE")
+                    else int(v.text)
+                )
+            if col >= 0:
+                cells[col] = val
+                maxcol = max(maxcol, col + 1)
+        rows.append(cells)
+    if not rows:
+        return pd.DataFrame()
+    header = [str(rows[0].get(i)) for i in range(maxcol)]
+    data = [[r.get(i) for i in range(maxcol)] for r in rows[1:]]
+    return pd.DataFrame(data, columns=header)
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    skip_rows: int = 0,
+    limit_rows: int | None = None,
+) -> DataFrame:
+    """Excel via pandas/openpyxl — or the stdlib SpreadsheetML fallback when
+    openpyxl is absent — then createDataFrame (reference lib/data_reader.py:
+    51-69).  ``skip_rows``/``limit_rows`` mirror the reference's resume
+    semantics (skip after the header row, then cap).  Driver-side by nature:
+    Excel files are small config/catalog artifacts, never the 100 TB path."""
     import pandas as pd
 
     try:
-        pdf = pd.read_excel(path)
-    except ImportError as e:  # openpyxl not installed in this container
-        raise NotImplementedError(
-            "Excel scan needs openpyxl; install it on the cluster or convert "
-            "the file to CSV/Parquet"
-        ) from e
+        pdf = pd.read_excel(
+            path,
+            nrows=limit_rows,
+            skiprows=range(1, skip_rows + 1) if skip_rows > 0 else None,
+        )
+    except ImportError:  # openpyxl not installed: stdlib parser
+        pdf = _read_xlsx_stdlib(path)
+        if skip_rows > 0:
+            pdf = pdf.iloc[skip_rows:].reset_index(drop=True)
+        if limit_rows is not None:
+            pdf = pdf.iloc[:limit_rows]
     return spark.createDataFrame(pdf)
 
 

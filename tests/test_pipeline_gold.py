@@ -93,3 +93,30 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     assert r2.counters["pairs_generated"] == r1.counters["pairs_generated"]
     # manifests carry the counters (Iceberg snapshot-property analog)
     assert cp2.manifest("pairs")["counters"]["pairs_generated"] > 0
+
+
+def test_reporter_receives_stage_narrative(spark):
+    """IReporter surface (reference lib/interfaces.py:11-31): stage messages,
+    start/on/stop progress — wired through run_pipeline."""
+    from semantic_entity_matching_spark.plans.pipeline import (
+        MatchConfig,
+        N_PIPELINE_STAGES,
+        run_pipeline,
+    )
+    from semantic_entity_matching_spark.plans.reporting import LoggingReporter
+    from semantic_entity_matching_spark.sources.synth import (
+        SynthConfig,
+        synth_webpages,
+    )
+
+    pages, _ = synth_webpages(spark, SynthConfig(n_entities=8, seed=7))
+    rep = LoggingReporter(stream=open("/dev/null", "w"))
+    run_pipeline(pages, MatchConfig(), reporter=rep)
+    assert rep.total == N_PIPELINE_STAGES
+    stage_msgs = [m for m in rep.messages if m.startswith("stage ")]
+    for name in ("records", "blocks", "pairs", "scored", "reranked", "edges",
+                 "clusters"):
+        assert any(m == f"stage {name}" for m in stage_msgs), name
+    assert any(m.startswith("done in") for m in rep.messages)
+    counter_msgs = [m for m in rep.messages if "records_prepared=" in m]
+    assert counter_msgs

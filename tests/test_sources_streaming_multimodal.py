@@ -141,3 +141,55 @@ def test_decode_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"x"]), fake=False)
+
+
+# ---------------------------------------------------------------------------
+# Excel scan (S2): stdlib SpreadsheetML fallback (no openpyxl in container)
+# ---------------------------------------------------------------------------
+
+
+def _make_xlsx(path: str) -> None:
+    """Write a spec-minimal .xlsx: shared strings + inline numbers/bools."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = f"""<?xml version="1.0"?>
+<worksheet {ns}><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>42</v></c><c r="C2"><v>1.5</v></c></row>
+<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3"><v>7</v></c><c r="C3"><v>2.25</v></c></row>
+<row r="4"><c r="A4" t="inlineStr"><is><t>carol</t></is></c><c r="B4"><v>9</v></c><c r="C4"><v>3.5</v></c></row>
+</sheetData></worksheet>"""
+    strings = f"""<?xml version="1.0"?>
+<sst {ns} count="5" uniqueCount="5">
+<si><t>name</t></si><si><t>age</t></si><si><t>score</t></si>
+<si><t>alice</t></si><si><t>bob</t></si></sst>"""
+    workbook = f"""<?xml version="1.0"?>
+<workbook {ns}><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/sharedStrings.xml", strings)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_excel_stdlib_fallback(spark, tmp_path):
+    from semantic_entity_matching_spark.sources.readers import read_excel
+
+    p = str(tmp_path / "t.xlsx")
+    _make_xlsx(p)
+    df = read_excel(spark, p)
+    assert df.columns == ["name", "age", "score"]
+    rows = {r["name"]: (r["age"], r["score"]) for r in df.collect()}
+    assert rows == {"alice": (42, 1.5), "bob": (7, 2.25), "carol": (9, 3.5)}
+
+
+def test_read_excel_skip_limit_resume(spark, tmp_path):
+    """skip_rows/limit_rows mirror the reference's resume semantics
+    (data_reader.py:63-69: skiprows after header + nrows)."""
+    from semantic_entity_matching_spark.sources.readers import read_excel
+
+    p = str(tmp_path / "t.xlsx")
+    _make_xlsx(p)
+    df = read_excel(spark, p, skip_rows=1, limit_rows=1)
+    assert [r["name"] for r in df.collect()] == ["bob"]

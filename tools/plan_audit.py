@@ -1,0 +1,146 @@
+"""Physical-plan audit: assert the scale-critical plan properties hold.
+
+Prints each headline query's formatted plan highlights and FAILS (exit 1)
+if a property regresses.  Properties audited:
+
+  1. column pruning  — the flagship pipeline never materializes the fat
+     ``html`` binary column (ReadSchema excludes it at the parquet scan)
+  2. filter pushdown — q29's pre-retrieval corpus filter reaches the scan
+     (PushedFilters contains the lang predicate)
+  3. index reuse     — q19's BM25 plan reads the persisted inverted index
+     (InMemoryTableScan) instead of re-tokenizing the corpus
+  4. broadcast       — q17's query side broadcasts (BroadcastExchange /
+     BroadcastNestedLoopJoin), the corpus never shuffles
+  5. codegen         — q01's agg pipeline runs inside WholeStageCodegen
+                       (checked on the executed AQE final plan)
+
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+FAILURES: list[str] = []
+
+
+def check(name: str, ok: bool, detail: str) -> None:
+    print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from semantic_entity_matching_spark.session import get_session
+
+    spark = get_session(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. column pruning: html never read by the pipeline's record prep
+    from semantic_entity_matching_spark.plans.pipeline import (
+        MatchConfig,
+        prepare_records,
+    )
+    from semantic_entity_matching_spark.sources.synth import (
+        SynthConfig,
+        synth_webpages,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pages, _ = synth_webpages(spark, SynthConfig(n_entities=10, seed=7))
+        pages.write.mode("overwrite").parquet(f"{d}/pages")
+        scan = spark.read.parquet(f"{d}/pages")
+        explained = prepare_records(
+            scan, MatchConfig()
+        )._jdf.queryExecution().explainString(  # noqa: SLF001
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        read_schema = [
+            ln for ln in explained.splitlines() if "ReadSchema" in ln
+        ]
+        check(
+            "html_pruned_at_scan",
+            bool(read_schema) and all("html" not in ln for ln in read_schema),
+            (read_schema or ["<no ReadSchema>"])[0].strip()[:140],
+        )
+
+    def explained_of(df) -> str:
+        return df._jdf.queryExecution().explainString(  # noqa: SLF001
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # 2. filter pushdown on q29's corpus filter
+    q29 = E.q29_search_rerank(spark, SF)
+    e29 = explained_of(q29)
+    pushed = [
+        ln
+        for ln in e29.splitlines()
+        if "PushedFilters" in ln and "lang" in ln
+    ]
+    check(
+        "q29_lang_filter_pushed",
+        bool(pushed),
+        (pushed or ["<no lang PushedFilters>"])[0].strip()[:140],
+    )
+
+    # 3. q19 reuses the persisted inverted index (one tokenization pass)
+    q19 = E.q19_lexical_bm25(spark, SF)
+    e19 = explained_of(q19)
+    n_mem = e19.count("InMemoryTableScan")
+    n_docscan = sum(
+        1
+        for ln in e19.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    )
+    check(
+        "q19_single_tokenization",
+        n_mem >= 1,
+        f"InMemoryTableScan x{n_mem}, documents parquet scans x{n_docscan}",
+    )
+
+    # 4. q17 broadcasts the query side
+    q17 = E.q17_ann_topk(spark, SF)
+    e17 = explained_of(q17)
+    check(
+        "q17_query_side_broadcast",
+        "BroadcastExchange" in e17 or "BroadcastNestedLoopJoin" in e17,
+        "BroadcastExchange present" if "BroadcastExchange" in e17 else "none",
+    )
+
+    # 5. q01 agg inside whole-stage codegen (explain mode "codegen" reports
+    # "Found N WholeStageCodegen subtrees"; pre-execution AQE plans hide the
+    # markers in simple/formatted modes)
+    q01 = E.q01_pricing_summary(spark, SF)
+    q01.collect()  # AQE reveals codegen subtrees only in the final plan
+    e01c = q01._jdf.queryExecution().explainString(  # noqa: SLF001
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+    )
+    found = [ln for ln in e01c.splitlines() if "WholeStageCodegen subtrees" in ln]
+    n_subtrees = int(found[0].split()[1]) if found else 0
+    check(
+        "q01_wholestage_codegen",
+        n_subtrees >= 1,
+        (found or ["<none>"])[0].strip(),
+    )
+
+    if FAILURES:
+        print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
+        sys.exit(1)
+    print("\nALL PLAN PROPERTIES OK")
+
+
+if __name__ == "__main__":
+    main()

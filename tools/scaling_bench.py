@@ -189,7 +189,7 @@ def run_level(execs: int, input_dir: str) -> dict:
             return json.loads(line[len("WORKER_RESULT "):])
     raise RuntimeError(
         f"worker (execs={execs}) produced no result; stderr tail:\n"
-        + proc.stderr[-2000:]
+        + proc.stderr[-12000:]
     )
 
 
