@@ -164,7 +164,24 @@ def rerank_pairs(
 ) -> DataFrame:
     """Stage 2 of scoring: expensive string metrics + blended score, only on
     pairs whose upper bound can still reach the threshold.  Joins the
-    (truncated) texts here so the big stage-1 pair table stays narrow."""
+    (truncated) texts here so the big stage-1 pair table stays narrow.
+
+    Two exact pruning bounds, cheapest feature first (zero recall loss):
+
+    1. cosine bound (stage 1 already computed it): prune when even
+       jw = lev = 1 cannot reach the threshold;
+    2. Levenshtein bound: Levenshtein is a JVM built-in (whole-stage
+       codegen) while Jaro-Winkler is per-pair Python — so compute lev
+       FIRST and prune with jw = 1 before any Python runs.  On near-dup-
+       heavy corpora the cosine bound alone keeps ~70% of candidates; the
+       lev bound cuts the Python JW set to roughly the eventual edge set.
+
+    The ``- 1e-6`` margin keeps the bound conservative under
+    ``score_round`` (round(score, 6) >= T only requires score >= T - 5e-7).
+    """
+    from semantic_entity_matching_spark.functions.similarity import DEFAULT_WEIGHTS
+
+    w = config.score_weights or DEFAULT_WEIGHTS
     survivors = scored.where(F.col("cosine") >= F.lit(rerank_cosine_cutoff(config)))
     txt = records.select(
         F.col(config.id_col).alias("_rid"),
@@ -179,6 +196,11 @@ def rerank_pairs(
         txt.select(F.col("_rid").alias("id_b"), F.col("_text").alias("text_b")),
         "id_b",
     )
+    jw_upper_bound = (
+        F.col("cosine") * F.lit(w["cosine"])
+        + F.lit(w["jaro_winkler"])
+        + F.col("levenshtein") * F.lit(w["levenshtein"])
+    )
     score_col = blended_score(
         F.col("cosine"),
         F.col("jaro_winkler"),
@@ -189,9 +211,12 @@ def rerank_pairs(
         score_col = F.round(score_col, config.score_round)
     return (
         survivors.withColumn(
+            "levenshtein", levenshtein_similarity_expr("text_a", "text_b")
+        )
+        .where(jw_upper_bound >= F.lit(config.match_threshold - 1e-6))
+        .withColumn(
             "jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b"))
         )
-        .withColumn("levenshtein", levenshtein_similarity_expr("text_a", "text_b"))
         .withColumn("score", score_col)
         .select(
             "id_a", "id_b", "block_key", "cosine", "jaro_winkler",

@@ -193,3 +193,61 @@ def test_read_excel_skip_limit_resume(spark, tmp_path):
     _make_xlsx(p)
     df = read_excel(spark, p, skip_rows=1, limit_rows=1)
     assert [r["name"] for r in df.collect()] == ["bob"]
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
+    """Exact-dedup with per-key state: duplicates inside a micro-batch keep
+    the min-id row; duplicates in LATER micro-batches are dropped entirely."""
+    from semantic_entity_matching_spark.sources.synth import WEBPAGES_SCHEMA
+    from semantic_entity_matching_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def page(url, text):
+        from datetime import datetime
+
+        return (url, datetime(2026, 1, 1), bytearray(b"<html>"), text, "en")
+
+    # batch 1: one dup inside the batch (u2/u1 same text -> min url wins)
+    b1 = spark.createDataFrame(
+        [page("u1", "alpha beta"), page("u2", "alpha beta"),
+         page("u3", "gamma delta")],
+        WEBPAGES_SCHEMA,
+    )
+    # batch 2: re-delivery of batch-1 content + one genuinely new page
+    b2 = spark.createDataFrame(
+        [page("u4", "alpha beta"), page("u5", "epsilon zeta"),
+         page("u6", None)],
+        WEBPAGES_SCHEMA,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(WEBPAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, id_col="url", text_col="text")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    urls = sorted(r["url"] for r in got.collect())
+    # u1 wins over u2 (same batch, min id); u4 dropped (hash seen earlier);
+    # u5 new; u6 passes through (null text, no fingerprint)
+    assert urls == ["u1", "u3", "u5", "u6"]
