@@ -627,6 +627,31 @@ def q31_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN scale path: k-means coarse quantizer, each
+    query probes its nprobe nearest cells.  The contract config probes ALL
+    cells (nprobe == nlist), which makes the result exactly the brute-force
+    cosine top-k — the oracle recomputes that quadratically; smaller nprobe
+    is the production recall/cost knob (pytest covers recall at nprobe 2/8).
+    """
+    from semantic_entity_matching_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("candidate_id"), "embedding")
+    return ivf_topk(
+        queries_df,
+        corpus,
+        k=5,
+        nlist=8,
+        nprobe=8,
+        exclude_self=True,
+        score_round=6,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -660,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_search_rerank": q29_search_rerank,
         "q30_vectorize_columns": q30_vectorize_columns,
         "q31_token_estimate": q31_token_estimate,
+        "q32_ivf_topk": q32_ivf_topk,
     }
 
 
@@ -1282,6 +1308,27 @@ def oracle_sql() -> dict[str, str]:
                    {_md5vec.format(t='text')},
                    {_md5vec.format(t='lang')}), 6) AS cross_cos
         FROM documents
+    """
+
+    # same exhaustive-cosine shape as q17 (IVF with nprobe == nlist probes
+    # every cell, so the approximate index degenerates to exact brute force)
+    sql["q32_ivf_topk"] = """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), s AS (
+            SELECT qid, cid,
+                   round(list_cosine_similarity(qv, cv), 6) AS score
+            FROM q, c WHERE qid <> cid
+        ), ranked AS (
+            SELECT qid AS query_id, cid AS candidate_id, score,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+            FROM s
+        )
+        SELECT query_id, candidate_id, score, rank FROM ranked WHERE rank <= 5
     """
 
     sql["q31_token_estimate"] = """

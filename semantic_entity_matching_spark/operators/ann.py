@@ -170,3 +170,143 @@ def lsh_topk(
     return ranked.where(F.col("rank") <= k).select(
         "query_id", "candidate_id", "score", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "candidate_id",
+    nlist: int = 16,
+    sample_n: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means coarse quantizer trained on a bounded, DETERMINISTIC sample
+    (rows ordered by xxhash64(id) — partitioning-independent, unlike
+    ``df.sample``).  Lloyd iterations run in numpy on the driver: the
+    centroid table is tiny (nlist × dim) and training data is capped at
+    ``sample_n`` rows, so this never scales with the corpus.  Empty cells
+    re-seed to the farthest point (k-means++-ish repair)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_n)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    nlist = min(nlist, len(mat))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=nlist, replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize both sides, argmax dot
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = (mn @ cn.T).argmax(axis=1)
+        for c in range(nlist):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+            else:
+                dists = 1.0 - (mn @ cn.T).max(axis=1)
+                centroids[c] = mat[int(dists.argmax())]
+    return centroids.astype(np.float32)
+
+
+def _cell_assign_df(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray,
+    out_id: str, nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell) rows — top-``nprobe`` nearest centroids per vector (cosine).
+    Centroids ride inside the UDF closure (broadcast by Spark's task
+    serialization — nlist × dim floats, KBs)."""
+    cn = centroids.astype(np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            vecs = batch[vec_col]
+            mask = vecs.notna()
+            if not mask.any():
+                yield pd.DataFrame({out_id: [], "cell": []})
+                continue
+            mat = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ cn.T  # (n, nlist)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = batch.loc[mask, batch.columns[0]].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, top.shape[1]),
+                    "cell": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema=f"{out_id} {id_type}, cell int"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "candidate_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    exclude_self: bool = False,
+    score_round: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (Faiss-style inverted file, public technique):
+    corpus rows live in exactly one k-means cell; each query probes its
+    ``nprobe`` nearest cells and scores only those candidates — work is
+    O(|Q| * |C| * nprobe / nlist) instead of O(|Q| x |C|).
+
+    ``nprobe == nlist`` probes every cell: the result is then EXACTLY the
+    brute-force top-k (same scoring, same deterministic tiebreak), which is
+    what the oracle checks; smaller nprobe trades recall for cost.  Pass
+    precomputed ``centroids`` on repeated runs to skip training.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col=vec_col, id_col=corpus_id, nlist=nlist, seed=seed
+        )
+    qcells = _cell_assign_df(
+        queries, query_id, vec_col, centroids, "query_id", nprobe=nprobe
+    )
+    ccells = _cell_assign_df(
+        corpus, corpus_id, vec_col, centroids, "candidate_id", nprobe=1
+    )
+    cand = qcells.join(ccells, "cell").select("query_id", "candidate_id").distinct()
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("candidate_id"))
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("candidate_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "candidate_id")
+        .withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
+    )
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), score_round))
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window("query_id")))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "score", "rank")
+    )

@@ -154,3 +154,41 @@ def test_embedding_near_duplicates_bucketed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     out.count()  # runs
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF: nprobe == nlist degenerates to exact brute force; low nprobe
+    keeps recall@5 high while scoring a fraction of the corpus."""
+    from semantic_entity_matching_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("candidate_id"), "embedding")
+    cents = train_ivf_centroids(corpus, nlist=8, seed=42)
+
+    exact = brute_force_topk(
+        queries, corpus, k=5, exclude_self=True, score_round=6
+    ).toPandas()
+    full = ivf_topk(
+        queries, corpus, k=5, nlist=8, nprobe=8, centroids=cents,
+        exclude_self=True, score_round=6,
+    ).toPandas()
+    key = ["query_id", "candidate_id", "score", "rank"]
+    assert sorted(map(tuple, full[key].values.tolist())) == sorted(
+        map(tuple, exact[key].values.tolist())
+    )
+
+    probe2 = ivf_topk(
+        queries, corpus, k=5, nlist=8, nprobe=2, centroids=cents,
+        exclude_self=True, score_round=6,
+    ).toPandas()
+    gold = {(r.query_id, r.candidate_id) for r in exact.itertuples()}
+    got = {(r.query_id, r.candidate_id) for r in probe2.itertuples()}
+    recall = len(gold & got) / len(gold)
+    assert recall >= 0.5, recall  # coarse 2-of-8-cell probe on random vecs
