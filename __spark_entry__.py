@@ -5,10 +5,12 @@ equivalent: extract → embed → block → pair → score → cluster) on the
 sf0.001 ``documents`` table and returns the cluster assignment.
 
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-query whose semantics are ANSI-SQL-expressible.  Non-SQL-expressible ops
-(MinHash-LSH banding, SimHash, iterative connected components) are present
-as rows-only checks.
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY
+query — including MinHash near-dup, SimHash, and connected components,
+whose contracts are exact sets the oracle recomputes quadratically
+(LSH banding is candidate generation, not the contract; banding recall 1
+at the thresholds is verified on this corpus and pigeonhole-guaranteed
+for SimHash).
 
 Cross-engine determinism rules used throughout (SURVEY.md §7.3):
 * every float column is round()-ed in BOTH engines;

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
-EXEC_CORES = 8
+EXEC_CORES = 8  # overridable via --exec-cores (see main)
 
 
 def _port_open(port: int) -> bool:
@@ -46,11 +46,8 @@ def _port_open(port: int) -> bool:
         return s.connect_ex(("127.0.0.1", port)) == 0
 
 
-def ensure_cluster() -> bool:
-    """Start master+worker if needed.  Returns True when THIS process
-    started the master (so teardown knows whether stopping it is ours to
-    do — never kill a pre-existing cluster we merely attached to)."""
-    env = {
+def _cluster_env() -> dict:
+    return {
         **os.environ,
         "SPARK_LOCAL_IP": "127.0.0.1",
         "SPARK_MASTER_HOST": "127.0.0.1",
@@ -58,6 +55,13 @@ def ensure_cluster() -> bool:
         if os.path.isdir("/dev/shm")
         else tempfile.gettempdir(),
     }
+
+
+def ensure_master() -> bool:
+    """Start the master if needed.  Returns True when THIS process started
+    it (so teardown knows whether stopping it is ours to do — never kill a
+    pre-existing cluster we merely attached to)."""
+    env = _cluster_env()
     started_master = False
     if not _port_open(7077):
         subprocess.run([f"{SPARK_HOME}/sbin/start-master.sh"], env=env, check=True)
@@ -66,16 +70,25 @@ def ensure_cluster() -> bool:
             if _port_open(7077):
                 break
             time.sleep(1)
-    # (re)start the single 32-core worker
+    return started_master
+
+
+def restart_worker(pin_cpus: str | None) -> None:
+    """(re)start the worker daemon, optionally pinned to a CPU set.
+
+    Pinning matters for HONEST scaling legs on one host: an "N-core"
+    executor's Python UDF workers and JVM service threads otherwise spread
+    over all 32 physical cores, silently inflating the small leg's
+    throughput (affinity is inherited by the executor JVMs and their Python
+    workers, so taskset on the daemon bounds the whole leg)."""
+    env = _cluster_env()
     subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], env=env, check=False,
                    capture_output=True)
-    subprocess.run(
-        [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL, "-c", "32", "-m", "96g"],
-        env=env,
-        check=True,
-    )
+    cmd = [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL, "-c", "32", "-m", "96g"]
+    if pin_cpus:
+        cmd = ["taskset", "-c", pin_cpus] + cmd
+    subprocess.run(cmd, env=env, check=True)
     time.sleep(5)
-    return started_master
 
 
 def stop_cluster(stop_master: bool) -> None:
@@ -88,6 +101,8 @@ def stop_cluster(stop_master: bool) -> None:
 
 
 def worker(execs: int, input_dir: str) -> None:
+    global EXEC_CORES
+    EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", EXEC_CORES))
     os.environ["PYSPARK_PYTHON"] = sys.executable
     from semantic_entity_matching_spark import get_session
     from semantic_entity_matching_spark.plans.pipeline import (
@@ -126,10 +141,40 @@ def worker(execs: int, input_dir: str) -> None:
     pages = spark.read.parquet(input_dir)
     n_rows = pages.count()  # warm scan outside the timed window
 
+    # per-stage wall times via the pipeline reporter: the end-to-end number
+    # alone hides WHICH stages scale (map-heavy ones do; exchange-bound ones
+    # are kernel-limited on this single-host sandbox — see BASELINE.md)
+    from semantic_entity_matching_spark.plans.reporting import IReporter
+
+    class StageTimer(IReporter):
+        def __init__(self):
+            self.stage_seconds: dict[str, float] = {}
+            self._cur: str | None = None
+            self._last = 0.0
+
+        def on_message(self, *messages: str) -> None:
+            msg = " ".join(messages)
+            if msg.startswith("stage ") and ":" not in msg:
+                now = time.time()
+                if self._cur is not None:
+                    self.stage_seconds[self._cur] = round(now - self._last, 2)
+                self._cur = msg[len("stage "):]
+                self._last = now
+
+        def stop_progress(self) -> None:
+            if self._cur is not None:
+                self.stage_seconds[self._cur] = round(
+                    time.time() - self._last, 2
+                )
+                self._cur = None
+
+    timer = StageTimer()
     t0 = time.time()
     # dim 1024 (the reference's default): at realistic page lengths a
     # 256-bucket feature-hash saturates and the rerank cascade prunes nothing
-    result = run_pipeline(pages, MatchConfig(embedding_dim=1024))
+    result = run_pipeline(
+        pages, MatchConfig(embedding_dim=1024), reporter=timer
+    )
     n_clusters = result.clusters.count()
     elapsed = time.time() - t0
 
@@ -141,6 +186,7 @@ def worker(execs: int, input_dir: str) -> None:
                 "rows": n_rows,
                 "clusters": n_clusters,
                 "seconds": round(elapsed, 2),
+                "stage_seconds": timer.stage_seconds,
                 "counters": result.counters,
             }
         )
@@ -182,7 +228,11 @@ def run_level(execs: int, input_dir: str) -> dict:
         capture_output=True,
         text=True,
         timeout=3600,
-        env={**os.environ, "SPARK_GRAFT_CPUS": str(EXEC_CORES * execs)},
+        env={
+            **os.environ,
+            "SPARK_GRAFT_CPUS": str(EXEC_CORES * execs),
+            "SCALING_EXEC_CORES": str(EXEC_CORES),
+        },
     )
     for line in proc.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
@@ -194,6 +244,7 @@ def run_level(execs: int, input_dir: str) -> dict:
 
 
 def main() -> None:
+    global EXEC_CORES
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--execs", type=int, default=1)
@@ -201,7 +252,26 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=60000)
     ap.add_argument("--words", type=int, default=1200)
     ap.add_argument("--keep-cluster", action="store_true")
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset-pin each leg's worker daemon to exactly its core "
+        "budget (N cores for the 1-executor leg, 4N for the 4-executor "
+        "leg) — otherwise the small leg silently overflows onto all 32 "
+        "physical cores and the measured efficiency is meaningless.",
+    )
+    ap.add_argument(
+        "--exec-cores",
+        type=int,
+        default=EXEC_CORES,
+        help="cores per executor JVM.  8 (default) saturates this host's "
+        "kernel at the 4N level (32 task threads; sys > user, see "
+        "BASELINE.md); 2 keeps total demand (8 cores) below the "
+        "saturation point so the 1-vs-4-executor comparison measures the "
+        "PLAN's scalability instead of single-host syscall contention.",
+    )
     args = ap.parse_args()
+    EXEC_CORES = args.exec_cores
 
     if args.worker:
         worker(args.execs, args.input)
@@ -211,9 +281,13 @@ def main() -> None:
     n = generate(input_dir, args.pages, args.words)
     print(f"generated {n} pages at {input_dir}", file=sys.stderr)
 
-    started_master = ensure_cluster()
+    started_master = ensure_master()
     try:
+        pin_low = f"0-{EXEC_CORES - 1}" if args.pin else None
+        pin_high = f"0-{EXEC_CORES * 4 - 1}" if args.pin else None
+        restart_worker(pin_low)
         low = run_level(1, input_dir)
+        restart_worker(pin_high)
         high = run_level(4, input_dir)
     finally:
         if not args.keep_cluster:
@@ -222,15 +296,23 @@ def main() -> None:
     thr_low = low["rows"] / low["seconds"]
     thr_high = high["rows"] / high["seconds"]
     efficiency = (thr_high / thr_low) / 4
+    stage_eff = {
+        name: round((low["stage_seconds"][name] / t4) / 4, 3)
+        for name, t4 in high.get("stage_seconds", {}).items()
+        if low.get("stage_seconds", {}).get(name)
+    }
     pairs = low["counters"].get("pairs_scored", 0)
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_1_to_4_executors",
+                "metric": f"scaling_efficiency_1_to_4_executors_x{EXEC_CORES}cores",
                 "value": round(efficiency, 3),
                 "unit": "ratio",
                 "rows": n,
                 "pairs_scored": pairs,
+                "stage_efficiency_1_to_4": stage_eff,
+                "stage_seconds_1x8": low.get("stage_seconds", {}),
+                "stage_seconds_4x8": high.get("stage_seconds", {}),
                 "n_exec_1x8": {
                     "seconds": low["seconds"],
                     "pages_per_sec": round(thr_low, 1),
