@@ -91,11 +91,27 @@ class CheckpointManager:
         if os.path.exists(step_dir):
             shutil.rmtree(step_dir)  # torn leftover from a killed run
         df.write.mode("overwrite").parquet(data_dir)
-        rows = self.spark.read.parquet(data_dir).count()
+        # per-partition lineage (north_rule): record-count per data file,
+        # the same granularity Iceberg keeps in its manifest entries
+        # (record_count per DataFile).  One zero-column scan of the fresh
+        # snapshot — parquet row counting, no data columns materialized.
+        from pyspark.sql import functions as F
+
+        per_file = (
+            self.spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        partition_rows = {
+            os.path.basename(r["file"]): int(r["count"]) for r in per_file
+        }
+        rows = sum(partition_rows.values())
         manifest = {
             "table": table,
             "step": step,
             "rows": rows,
+            "partition_rows": partition_rows,
             "schema": df.schema.jsonValue(),
             "counters": dict(counters or {}),
             "committed_at": time.time(),

@@ -120,3 +120,18 @@ def test_reporter_receives_stage_narrative(spark):
     assert any(m.startswith("done in") for m in rep.messages)
     counter_msgs = [m for m in rep.messages if "records_prepared=" in m]
     assert counter_msgs
+
+
+def test_checkpoint_manifest_partition_lineage(spark, tmp_path):
+    """Every committed snapshot carries per-data-file record counts (the
+    Iceberg manifest-entry granularity) that sum to the row total."""
+    from semantic_entity_matching_spark.plans.checkpoint import CheckpointManager
+
+    cp = CheckpointManager(str(tmp_path / "cp"), spark)
+    df = spark.range(1000).repartition(4)
+    m = cp.write("t", df)
+    assert m["rows"] == 1000
+    assert len(m["partition_rows"]) == 4
+    assert sum(m["partition_rows"].values()) == 1000
+    # manifest round-trips from disk identically
+    assert cp.manifest("t")["partition_rows"] == m["partition_rows"]
