@@ -76,12 +76,16 @@ class CheckpointManager:
         df: DataFrame,
         step: int | None = None,
         counters: dict[str, int] | None = None,
+        count_as: str | None = None,
     ) -> dict[str, Any]:
         """Materialize ``df`` as the next snapshot of ``table``.
 
         Returns the manifest.  ``counters`` are recorded in the manifest
         (Iceberg analog: snapshot summary properties) and folded into the
-        run-level counter totals.
+        run-level counter totals.  ``count_as`` names a counter that gets
+        the snapshot's own row count — the count comes from the already-
+        written parquet footers, so callers never need a separate
+        ``df.count()`` action (which would recompute the whole stage).
         """
         prev = self.latest_step(table)
         if step is None:
@@ -107,6 +111,9 @@ class CheckpointManager:
             os.path.basename(r["file"]): int(r["count"]) for r in per_file
         }
         rows = sum(partition_rows.values())
+        counters = dict(counters or {})
+        if count_as:
+            counters[count_as] = rows
         manifest = {
             "table": table,
             "step": step,

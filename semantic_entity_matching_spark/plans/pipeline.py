@@ -266,10 +266,11 @@ def run_pipeline(
                 reporter.on_message(f"stage {name}: resumed from checkpoint")
                 return df
             df = build()
-            n = df.count()
-            cnt = {counter_of: n} if counter_of else {}
-            checkpoint.write(name, df, counters=cnt)
-            counters.update(cnt)
+            # ONE materialization: the snapshot write IS the action, and
+            # its row count comes from the written parquet footers — a
+            # separate df.count() here would recompute the whole stage
+            manifest = checkpoint.write(name, df, count_as=counter_of)
+            counters.update(manifest["counters"])
             return checkpoint.read(name)
         # no checkpoint dir: cut lineage in memory — each stage feeds several
         # downstream consumers, so without this every stage recomputes its

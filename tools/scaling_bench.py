@@ -168,12 +168,27 @@ def worker(execs: int, input_dir: str) -> None:
                 )
                 self._cur = None
 
+    # ALWAYS checkpoint on a multi-executor cluster (run_pipeline docstring):
+    # the no-checkpoint localCheckpoint fallback pins stage output as RDD
+    # blocks on whichever executor computed them, so with 4 executors ~3/4
+    # of every downstream read is a cross-JVM block fetch over loopback —
+    # the measured anti-scaling of the blocks/scored stages.  Snapshot
+    # tables on the filesystem scale: each executor reads its own splits.
+    from semantic_entity_matching_spark.plans.checkpoint import CheckpointManager
+
+    cp_dir = tempfile.mkdtemp(
+        prefix=f"scaling_cp_{execs}x_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     timer = StageTimer()
     t0 = time.time()
     # dim 1024 (the reference's default): at realistic page lengths a
     # 256-bucket feature-hash saturates and the rerank cascade prunes nothing
     result = run_pipeline(
-        pages, MatchConfig(embedding_dim=1024), reporter=timer
+        pages,
+        MatchConfig(embedding_dim=1024),
+        checkpoint=CheckpointManager(cp_dir, spark),
+        reporter=timer,
     )
     n_clusters = result.clusters.count()
     elapsed = time.time() - t0
@@ -192,6 +207,9 @@ def worker(execs: int, input_dir: str) -> None:
         )
     )
     spark.stop()
+    import shutil as _shutil
+
+    _shutil.rmtree(cp_dir, ignore_errors=True)
 
 
 def generate(input_dir: str, n_pages: int, words: int) -> int:
