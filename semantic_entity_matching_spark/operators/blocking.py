@@ -92,13 +92,33 @@ def _oph_signature(hashes: np.ndarray, num_perm: int, a0: np.uint64, b0: np.uint
     return sig
 
 
+# OPH needs the bins well-filled: with few items most bins are empty and
+# rotation densification repeats ONE borrowed value across whole bands —
+# band collision probability degrades from jaccard^r toward jaccard^1, and
+# unrelated short documents flood into mega-blocks (measured: a 3,885-doc
+# block at sf0.1, 11.9M candidate pairs).  Below this fill factor the
+# classic matrix is used instead — it is cheap exactly when sets are small.
+OPH_MIN_ITEMS_PER_BIN = 4
+
+
+def _minhash_signature(
+    hashes: np.ndarray, num_perm: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Adaptive signature: O(n) OPH for large sets, exact (n, num_perm)
+    universal-hash matrix for small ones (where it costs microseconds)."""
+    if hashes.size >= OPH_MIN_ITEMS_PER_BIN * num_perm:
+        return _oph_signature(hashes, num_perm, a[0], b[0])
+    vals = (hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    return vals.min(axis=0).astype(np.uint64)
+
+
 def minhash_signature(text: str, num_perm: int, shingle_k: int, seed: int) -> np.ndarray:
     """Pure-Python/numpy oracle for one text (shared with tests)."""
-    a, b = _permutations(1, seed)
+    a, b = _permutations(num_perm, seed)
     hashes = _shingle_hashes(text, shingle_k)
     if hashes.size == 0:
         return np.full(num_perm, _MAXHASH, dtype=np.uint64)
-    return _oph_signature(hashes, num_perm, a[0], b[0])
+    return _minhash_signature(hashes, num_perm, a, b)
 
 
 def _word_hashes(text: str) -> np.ndarray:
@@ -159,8 +179,8 @@ def minhash_block_keys(
     """
     cfg = config or LSHConfig()
     perms = {
-        "mh": _permutations(1, cfg.seed),
-        "mhw": _permutations(1, cfg.seed + 101),
+        "mh": _permutations(cfg.num_perm, cfg.seed),
+        "mhw": _permutations(cfg.num_perm, cfg.seed + 101),
     }
     families = []
     if cfg.use_char_family:
@@ -182,9 +202,10 @@ def minhash_block_keys(
                     if hashes.size == 0:
                         continue
                     a, b = perms[prefix]
-                    # O(n) one-permutation signature — NOT the (n, 128)
-                    # universal-hash matrix (165× on 1,200-word pages)
-                    sig = _oph_signature(hashes, cfg.num_perm, a[0], b[0])
+                    # adaptive: O(n) OPH on big sets (165× on 1,200-word
+                    # pages), exact matrix on small ones (see
+                    # OPH_MIN_ITEMS_PER_BIN)
+                    sig = _minhash_signature(hashes, cfg.num_perm, a, b)
                     bands = sig.reshape(cfg.num_bands, cfg.rows_per_band)
                     # stable band hash: fold band rows with FNV-style mixing
                     band_hash = bands[:, 0].copy()
