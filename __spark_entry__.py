@@ -1302,13 +1302,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
     """
 
+    # null column values embed to NULL (provider convention), so dims and
+    # the cross cosine are NULL-propagating in both engines
     sql["q30_vectorize_columns"] = f"""
         SELECT doc_id,
-               CAST(64 AS BIGINT) AS dim_text,
-               CAST(64 AS BIGINT) AS dim_lang,
-               round(list_cosine_similarity(
-                   {_md5vec.format(t='text')},
-                   {_md5vec.format(t='lang')}), 6) AS cross_cos
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(64 AS BIGINT) END AS dim_text,
+               CASE WHEN lang IS NULL THEN NULL
+                    ELSE CAST(64 AS BIGINT) END AS dim_lang,
+               CASE WHEN text IS NULL OR lang IS NULL THEN NULL
+                    ELSE round(list_cosine_similarity(
+                        {_md5vec.format(t='text')},
+                        {_md5vec.format(t='lang')}), 6) END AS cross_cos
         FROM documents
     """
 

@@ -120,7 +120,16 @@ class TokenHashEmbeddingProvider(EmbeddingProvider):
         self.ngram = ngram
 
     def _features(self, text: str) -> list[str]:
-        tokens = str(text).lower().split()
+        import re
+
+        # ASCII-\s tokenization: the same whitespace class the DuckDB
+        # oracle's regexp_split '\s+' (RE2) uses — str.split() would
+        # diverge on Unicode whitespace (e.g. U+00A0)
+        tokens = [
+            t
+            for t in re.split(r"\s+", str(text).lower(), flags=re.ASCII)
+            if t
+        ]
         feats = list(tokens)
         n = self.ngram
         for t in tokens:

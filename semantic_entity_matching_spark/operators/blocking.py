@@ -96,29 +96,37 @@ def _oph_signature(hashes: np.ndarray, num_perm: int, a0: np.uint64, b0: np.uint
 # rotation densification repeats ONE borrowed value across whole bands —
 # band collision probability degrades from jaccard^r toward jaccard^1, and
 # unrelated short documents flood into mega-blocks (measured: a 3,885-doc
-# block at sf0.1, 11.9M candidate pairs).  Below this fill factor the
-# classic matrix is used instead — it is cheap exactly when sets are small.
-OPH_MIN_ITEMS_PER_BIN = 4
+# block at sf0.1, 11.9M candidate pairs).  Small sets therefore use the
+# classic matrix (cheap exactly when sets are small); large sets use OPH.
+#
+# A HARD per-document cutover would make two near-duplicates straddling the
+# boundary emit incomparable signatures (no shared band key at all).  So
+# there are two thresholds a factor 2 apart, and documents in the gray zone
+# emit BOTH schemes' keys (distinct "o" namespace): Jaccard >= 0.5 bounds a
+# pair's set-size ratio to <= 2, so any such pair always shares at least
+# one scheme.  Large documents (the expensive ones) still emit OPH only.
+OPH_MIN_ITEMS_PER_BIN = 4  # size >= 4*num_perm  -> emit OPH keys
+CLASSIC_MAX_ITEMS_PER_BIN = 8  # size < 8*num_perm -> emit classic keys
 
 
-def _minhash_signature(
+def _classic_signature(
     hashes: np.ndarray, num_perm: int, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """Adaptive signature: O(n) OPH for large sets, exact (n, num_perm)
-    universal-hash matrix for small ones (where it costs microseconds)."""
-    if hashes.size >= OPH_MIN_ITEMS_PER_BIN * num_perm:
-        return _oph_signature(hashes, num_perm, a[0], b[0])
     vals = (hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
     return vals.min(axis=0).astype(np.uint64)
 
 
 def minhash_signature(text: str, num_perm: int, shingle_k: int, seed: int) -> np.ndarray:
-    """Pure-Python/numpy oracle for one text (shared with tests)."""
+    """Pure-Python/numpy oracle for one text (shared with tests): the
+    classic signature below the gray zone, OPH above it — matching the
+    primary scheme minhash_block_keys emits for that document size."""
     a, b = _permutations(num_perm, seed)
     hashes = _shingle_hashes(text, shingle_k)
     if hashes.size == 0:
         return np.full(num_perm, _MAXHASH, dtype=np.uint64)
-    return _minhash_signature(hashes, num_perm, a, b)
+    if hashes.size >= CLASSIC_MAX_ITEMS_PER_BIN * num_perm:
+        return _oph_signature(hashes, num_perm, a[0], b[0])
+    return _classic_signature(hashes, num_perm, a, b)
 
 
 def _word_hashes(text: str) -> np.ndarray:
@@ -202,18 +210,22 @@ def minhash_block_keys(
                     if hashes.size == 0:
                         continue
                     a, b = perms[prefix]
-                    # adaptive: O(n) OPH on big sets (165× on 1,200-word
-                    # pages), exact matrix on small ones (see
-                    # OPH_MIN_ITEMS_PER_BIN)
-                    sig = _minhash_signature(hashes, cfg.num_perm, a, b)
-                    bands = sig.reshape(cfg.num_bands, cfg.rows_per_band)
-                    # stable band hash: fold band rows with FNV-style mixing
-                    band_hash = bands[:, 0].copy()
-                    for r in range(1, cfg.rows_per_band):
-                        band_hash = (band_hash * np.uint64(1099511628211) + bands[:, r]) % _MERSENNE
-                    for band_idx in range(cfg.num_bands):
-                        ids.append(rid)
-                        keys.append(f"{prefix}:{band_idx}:{band_hash[band_idx]:x}")
+                    # scheme selection with a 2× gray zone (see thresholds
+                    # above): small -> classic, large -> OPH, gray -> both
+                    sigs = []
+                    if hashes.size < CLASSIC_MAX_ITEMS_PER_BIN * cfg.num_perm:
+                        sigs.append((prefix, _classic_signature(hashes, cfg.num_perm, a, b)))
+                    if hashes.size >= OPH_MIN_ITEMS_PER_BIN * cfg.num_perm:
+                        sigs.append((prefix + "o", _oph_signature(hashes, cfg.num_perm, a[0], b[0])))
+                    for pfx, sig in sigs:
+                        bands = sig.reshape(cfg.num_bands, cfg.rows_per_band)
+                        # stable band hash: fold band rows with FNV mixing
+                        band_hash = bands[:, 0].copy()
+                        for r in range(1, cfg.rows_per_band):
+                            band_hash = (band_hash * np.uint64(1099511628211) + bands[:, r]) % _MERSENNE
+                        for band_idx in range(cfg.num_bands):
+                            ids.append(rid)
+                            keys.append(f"{pfx}:{band_idx}:{band_hash[band_idx]:x}")
             yield pd.DataFrame({id_col: pd.Series(ids, dtype=batch[id_col].dtype),
                                 "block_key": keys})
 

@@ -97,8 +97,18 @@ def minhash_near_duplicates(
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _ascii_tokens(text: str) -> list[str]:
+    """ASCII-\s tokenization — the same whitespace class Java regex and
+    DuckDB RE2 use for '\s+', unlike str.split() (Unicode whitespace).
+    Keeps the pure-Python oracles byte-consistent with the JVM/SQL paths
+    on text containing exotic whitespace (e.g. U+00A0)."""
+    import re
+
+    return [t for t in re.split(r"\s+", str(text), flags=re.ASCII) if t]
+
+
 def _token_ngrams(text: str, n: int) -> set[str]:
-    toks = str(text).lower().split()
+    toks = _ascii_tokens(str(text).lower())
     if n <= 1:
         return set(toks)
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -194,7 +204,7 @@ def simhash_py(text: str, bits: int = 64) -> int:
 
     if text is None:
         return 0
-    tokens = str(text).lower().split()
+    tokens = _ascii_tokens(str(text).lower())
     if not tokens:
         return 0
     hashes = np.array(
@@ -244,7 +254,14 @@ def simhash_near_duplicates(
     """Pairs within hamming distance via banding: split the 64-bit hash into
     n_bands chunks — any pair with <= (n_bands-1) differing bands shares a
     band key (pigeonhole guarantees full recall when max_hamming < n_bands).
-    -> (id_a, id_b, hamming)."""
+    -> (id_a, id_b, hamming).
+
+    Null/blank documents are excluded BEFORE banding: they would all share
+    simhash 0 and emit an O(n²) false near-dup clique (and the SQL oracle's
+    token CTE naturally drops them)."""
+    df = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
     hashed = with_simhash(df, id_col, text_col).select(id_col, "simhash")
     width = 64 // n_bands
     bands = hashed.select(

@@ -45,6 +45,7 @@ def lexical_topk(
     corpus_text: str = "text",
     score_round: int | None = None,
     max_df_ratio: float | None = None,
+    persist_index: bool = True,
 ) -> DataFrame:
     """BM25 lexical retrieval (reference ``match`` query, J2) as an
     inverted-index join: explode terms, Okapi BM25 score (k1=1.2, b=0.75 —
@@ -61,6 +62,11 @@ def lexical_topk(
     index instead of re-exploding the corpus.  N = documents with at least
     one term (empty documents can never match, so excluding them only
     rescales idf/avgdl consistently in both engines).
+
+    ``persist_index=True`` caches the inverted index for the duration of
+    the plan (and any further retrievals this session); Spark evicts it
+    LRU, but a long-lived service issuing many one-shot retrievals should
+    pass False or call ``spark.catalog.clearCache()`` between batches.
 
     ``max_df_ratio`` drops terms whose document frequency exceeds
     ``ratio * N`` BEFORE the query-term join: stopword-grade terms appear in
@@ -83,7 +89,9 @@ def lexical_topk(
     # doc-length table (which would not fit at 10^12 docs)
     terms = terms.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("candidate_id"))
-    ).persist()
+    )
+    if persist_index:
+        terms = terms.persist()
     # ONE action computes both corpus stats and materializes the cache —
     # everything downstream reuses the tokenized index
     row = terms.agg(

@@ -46,7 +46,17 @@ def dedup_stream(
     Rows with null/empty text pass through unchanged (they carry no
     fingerprint to deduplicate on — same convention as the batch operator).
     """
-    hashed = pages.withColumn("content_hash", fingerprint_hex(text_col))
+    from pyspark.sql import functions as F
+
+    # blank text gets a NULL hash (md5('') would otherwise collapse every
+    # empty-body page into one survivor) — null-hash rows pass through
+    hashed = pages.withColumn(
+        "content_hash",
+        F.when(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""),
+            fingerprint_hex(text_col),
+        ),
+    )
     out_schema = StructType(
         list(hashed.schema.fields)
     )

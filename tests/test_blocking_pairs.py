@@ -132,3 +132,75 @@ def test_all_block_keys_union(spark):
     assert {"mh", "mhw", "sn", "snp"} <= kinds
     audit = block_size_audit(blocks).collect()
     assert audit[0]["block_size"] == 2  # identical texts share every key
+
+
+def test_gray_zone_boundary_pair_shares_a_scheme(spark):
+    """Two near-duplicates whose shingle counts straddle the OPH cutover
+    (512 = 4*num_perm) must still share band keys: the 2x gray zone emits
+    BOTH schemes for mid-sized docs, and jaccard >= 0.5 bounds a pair's
+    size ratio to <= 2, so a shared scheme always exists."""
+    import random
+
+    from semantic_entity_matching_spark.operators.blocking import (
+        _shingle_hashes,
+        minhash_block_keys,
+    )
+    from semantic_entity_matching_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    random.seed(3)
+    words = [
+        "".join(random.choices("abcdefghijklmnopqrstuvwxyz", k=7))
+        for _ in range(90)
+    ]
+    base = " ".join(words)          # ~700 chars -> ~700 shingles (gray zone)
+    bigger = base + " " + " ".join(words[:12])  # near-dup, slightly larger
+    n_a = _shingle_hashes(base, 5).size
+    n_b = _shingle_hashes(bigger, 5).size
+    assert n_a != n_b  # genuinely different sizes around the zone
+    df = spark.createDataFrame(
+        [(1, base), (2, bigger)], "doc_id bigint, text string"
+    )
+    blocks = minhash_block_keys(df, id_col="doc_id", text_col="text")
+    k1 = {r["block_key"] for r in blocks.where("doc_id=1").collect()}
+    k2 = {r["block_key"] for r in blocks.where("doc_id=2").collect()}
+    assert k1 & k2, "no shared band key across the scheme boundary"
+    pairs = minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", jaccard_threshold=0.5
+    )
+    assert pairs.count() == 1
+
+
+def test_simhash_blank_docs_do_not_pair(spark):
+    """Null/blank documents are excluded before simhash banding — they would
+    otherwise all share signature 0 and form an O(n^2) false clique."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real content here"),
+         (5, "real content here")],
+        "doc_id bigint, text string",
+    )
+    out = simhash_near_duplicates(df, max_hamming=3, n_bands=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(4, 5)}
+
+
+def test_jaccard_py_matches_jvm_on_unicode_whitespace(spark):
+    """ASCII-\\s tokenization keeps the pure-Python oracle consistent with
+    the JVM array path on text containing non-breaking spaces."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        jaccard_py,
+        ngram_jaccard_verify,
+    )
+
+    a = "foo bar baz"   # U+00A0 is NOT whitespace to Java/RE2 \s
+    b = "foo bar baz"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    jvm = ngram_jaccard_verify(pairs, df, id_col="doc_id").first()["jaccard"]
+    assert abs(jvm - jaccard_py(a, b)) < 1e-12

@@ -224,7 +224,7 @@ def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
     # batch 2: re-delivery of batch-1 content + one genuinely new page
     b2 = spark.createDataFrame(
         [page("u4", "alpha beta"), page("u5", "epsilon zeta"),
-         page("u6", None)],
+         page("u6", None), page("u7", "   ")],
         WEBPAGES_SCHEMA,
     )
     b1.coalesce(1).write.mode("append").parquet(src)
@@ -249,5 +249,5 @@ def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
     got = spark.read.parquet(out)
     urls = sorted(r["url"] for r in got.collect())
     # u1 wins over u2 (same batch, min id); u4 dropped (hash seen earlier);
-    # u5 new; u6 passes through (null text, no fingerprint)
-    assert urls == ["u1", "u3", "u5", "u6"]
+    # u5 new; u6 (null) and u7 (blank) pass through — no fingerprint
+    assert urls == ["u1", "u3", "u5", "u6", "u7"]

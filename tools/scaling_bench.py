@@ -181,35 +181,38 @@ def worker(execs: int, input_dir: str) -> None:
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
     timer = StageTimer()
-    t0 = time.time()
-    # dim 1024 (the reference's default): at realistic page lengths a
-    # 256-bucket feature-hash saturates and the rerank cascade prunes nothing
-    result = run_pipeline(
-        pages,
-        MatchConfig(embedding_dim=1024),
-        checkpoint=CheckpointManager(cp_dir, spark),
-        reporter=timer,
-    )
-    n_clusters = result.clusters.count()
-    elapsed = time.time() - t0
-
-    print(
-        "WORKER_RESULT "
-        + json.dumps(
-            {
-                "executors": execs,
-                "rows": n_rows,
-                "clusters": n_clusters,
-                "seconds": round(elapsed, 2),
-                "stage_seconds": timer.stage_seconds,
-                "counters": result.counters,
-            }
+    try:
+        t0 = time.time()
+        # dim 1024 (the reference's default): at realistic page lengths a
+        # 256-bucket feature-hash saturates; the rerank cascade prunes little
+        result = run_pipeline(
+            pages,
+            MatchConfig(embedding_dim=1024),
+            checkpoint=CheckpointManager(cp_dir, spark),
+            reporter=timer,
         )
-    )
-    spark.stop()
-    import shutil as _shutil
+        n_clusters = result.clusters.count()
+        elapsed = time.time() - t0
 
-    _shutil.rmtree(cp_dir, ignore_errors=True)
+        print(
+            "WORKER_RESULT "
+            + json.dumps(
+                {
+                    "executors": execs,
+                    "rows": n_rows,
+                    "clusters": n_clusters,
+                    "seconds": round(elapsed, 2),
+                    "stage_seconds": timer.stage_seconds,
+                    "counters": result.counters,
+                }
+            )
+        )
+        spark.stop()
+    finally:
+        # never leak multi-GB snapshots into RAM-backed /dev/shm on failure
+        import shutil as _shutil
+
+        _shutil.rmtree(cp_dir, ignore_errors=True)
 
 
 def generate(input_dir: str, n_pages: int, words: int) -> int:
@@ -317,7 +320,7 @@ def main() -> None:
     stage_eff = {
         name: round((low["stage_seconds"][name] / t4) / 4, 3)
         for name, t4 in high.get("stage_seconds", {}).items()
-        if low.get("stage_seconds", {}).get(name)
+        if low.get("stage_seconds", {}).get(name) and t4 > 0
     }
     pairs = low["counters"].get("pairs_scored", 0)
     print(
