@@ -536,9 +536,15 @@ def q29_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the DuckDB oracle computes.
     """
     from semantic_entity_matching_spark.functions.embed import HashEmbeddingProvider
+    from semantic_entity_matching_spark.functions.extract import valid_query_filter
     from semantic_entity_matching_spark.operators.search import search_and_rerank
 
     docs = _t(spark, sf_dir, "documents")
+    # the reference skips blank/NaN texts before search (is_skippable_query,
+    # lib/evaluate.py:97-107) — and blank-vs-blank pairs are where string
+    # rerank conventions diverge across engines (JW('','') is 1.0 here, 0.0
+    # in DuckDB), so P4 applies to BOTH sides
+    docs = docs.where(valid_query_filter("text"))
     embed = HashEmbeddingProvider(dim=1024).udf()
     corpus = docs.select(
         F.col("doc_id").alias("candidate_id"),
@@ -588,13 +594,20 @@ def q30_vectorize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="per-column",
         provider=HashEmbeddingProvider(dim=64),
     )
+    # null column -> null embedding (provider convention): propagate null
+    # through dims and the cross cosine (cosine_expr alone yields 0.0 for
+    # null vectors, which would diverge from the oracle's NULL)
+    null_emb = (
+        F.col("text_embedding").isNull() | F.col("lang_embedding").isNull()
+    )
     return out.select(
         "doc_id",
         F.size("text_embedding").cast("bigint").alias("dim_text"),
         F.size("lang_embedding").cast("bigint").alias("dim_lang"),
-        F.round(cosine_expr("text_embedding", "lang_embedding"), 6).alias(
-            "cross_cos"
-        ),
+        F.when(
+            ~null_emb,
+            F.round(cosine_expr("text_embedding", "lang_embedding"), 6),
+        ).alias("cross_cos"),
     )
 
 
@@ -909,9 +922,10 @@ def oracle_sql() -> dict[str, str]:
     sql["q17_ann_topk"] = """
         WITH q AS (
             SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-            FROM embeddings WHERE vec_id < 20
+            FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL
         ), c AS (
-            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE embedding IS NOT NULL
         ), s AS (
             SELECT qid, cid,
                    round(list_cosine_similarity(qv, cv), 6) AS score
@@ -935,7 +949,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(
-                 CASE WHEN len(a.tok) = 0 AND len(b.tok) = 0 THEN 1.0
+                 CASE WHEN a.tok IS NULL OR b.tok IS NULL THEN 0.0
+                      WHEN len(a.tok) = 0 AND len(b.tok) = 0 THEN 1.0
                       WHEN len(a.tok) = 0 OR len(b.tok) = 0 THEN 0.0
                       ELSE len(list_intersect(a.tok, b.tok))::DOUBLE
                            / len(list_distinct(list_concat(a.tok, b.tok)))
@@ -1002,7 +1017,8 @@ def oracle_sql() -> dict[str, str]:
     # pair within 1 ulp of 0.25 then resolves identically in both engines
     sql["q20_embedding_neardup"] = """
         WITH e AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
@@ -1012,7 +1028,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q24_string_sims"] = """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(jaro_winkler_similarity(a.text, b.text), 6) AS jw,
+               round(CASE WHEN a.text IS NULL OR b.text IS NULL THEN 0.0
+                          ELSE jaro_winkler_similarity(a.text, b.text)
+                     END, 6) AS jw,
                round(CASE WHEN greatest(length(a.text), length(b.text)) = 0
                           THEN 1.0
                           ELSE 1.0 - levenshtein(a.text, b.text)::DOUBLE
@@ -1120,11 +1138,15 @@ def oracle_sql() -> dict[str, str]:
         WITH corpus AS (
             SELECT doc_id AS candidate_id, text,
                    {_md5vec.format(t='text')} AS v
-            FROM documents WHERE lang = 'en'
+            FROM documents
+            WHERE lang = 'en' AND text IS NOT NULL
+              AND trim(text) <> '' AND text <> 'nan'
         ), q AS (
             SELECT doc_id AS query_id, text AS query_text,
                    {_md5vec.format(t='text')} AS v
-            FROM documents WHERE doc_id < 20
+            FROM documents
+            WHERE doc_id < 20 AND text IS NOT NULL
+              AND trim(text) <> '' AND text <> 'nan'
         ), knn AS (
             SELECT q.query_id, c.candidate_id,
                    round(list_cosine_similarity(q.v, c.v), 6) AS knn_score
@@ -1166,11 +1188,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q21_minhash_neardup"] = """
         WITH toks AS (
-            SELECT doc_id,
-                   list_distinct(list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
-                       x -> x <> '')) AS tok
-            FROM documents WHERE text IS NOT NULL
+            -- token-empty (blank) docs emit no LSH keys in Spark and can
+            -- never pair; exclude them so the quadratic oracle matches
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
         ), pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CASE WHEN len(a.tok) = 0 AND len(b.tok) = 0 THEN 1.0
@@ -1322,9 +1348,10 @@ def oracle_sql() -> dict[str, str]:
     sql["q32_ivf_topk"] = """
         WITH q AS (
             SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-            FROM embeddings WHERE vec_id < 20
+            FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL
         ), c AS (
-            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE embedding IS NOT NULL
         ), s AS (
             SELECT qid, cid,
                    round(list_cosine_similarity(qv, cv), 6) AS score

@@ -62,6 +62,9 @@ def brute_force_topk(
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("candidate_id"))
     scored = joined.withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
+    # a null embedding on either side cannot be scored: drop the row rather
+    # than rank it (engines disagree on NULL ordering in DESC windows)
+    scored = scored.where(F.col("score").isNotNull())
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
     return (
@@ -161,6 +164,7 @@ def lsh_topk(
         cand.join(q, "query_id")
         .join(c, "candidate_id")
         .withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
+        .where(F.col("score").isNotNull())
     )
     # over-fetch happens implicitly at candidate generation (each query's
     # bucket set yields >= k*overfetch collisions when n_tables is sized
@@ -302,6 +306,7 @@ def ivf_topk(
         cand.join(F.broadcast(q), "query_id")
         .join(c, "candidate_id")
         .withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
+        .where(F.col("score").isNotNull())
     )
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
