@@ -667,6 +667,28 @@ def q32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join over the events stream: every 10th event
+    looks up the latest PRIOR event of the same user (build.ts <= probe.ts,
+    ties: build-at-same-ts eligible, largest event_id wins).  Implemented as
+    one keyed window with last-ignorenulls carry (operators/asof.py) — no
+    range-join blowup; the oracle is DuckDB's LATERAL top-1 lookup."""
+    from semantic_entity_matching_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    probes = events.where(F.col("event_id") % 10 == 0)
+    builds = events.where(F.col("event_id") % 10 != 0)
+    out = asof_join(
+        probes, builds, on="user_id", ts_col="ts",
+        probe_id="event_id", build_id="event_id", value_cols=("value",),
+    )
+    return out.select(
+        "event_id",
+        "matched_event_id",
+        F.round(F.col("matched_value"), 4).alias("matched_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -701,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_vectorize_columns": q30_vectorize_columns,
         "q31_token_estimate": q31_token_estimate,
         "q32_ivf_topk": q32_ivf_topk,
+        "q33_asof_join": q33_asof_join,
     }
 
 
@@ -1391,6 +1414,22 @@ def oracle_sql() -> dict[str, str]:
                               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
                          ELSE floor(n_bytes * ratio) END AS BIGINT) AS est_tokens
         FROM ratios
+    """
+
+    sql["q33_asof_join"] = """
+        WITH probes AS (
+            SELECT * FROM events WHERE event_id % 10 = 0
+        ), builds AS (
+            SELECT * FROM events WHERE event_id % 10 <> 0
+        )
+        SELECT p.event_id,
+               b.event_id AS matched_event_id,
+               round(b.value, 4) AS matched_value
+        FROM probes p LEFT JOIN LATERAL (
+            SELECT event_id, value FROM builds b
+            WHERE b.user_id = p.user_id AND b.ts <= p.ts
+            ORDER BY b.ts DESC, b.event_id DESC LIMIT 1
+        ) b ON TRUE
     """
 
     return sql

@@ -1,0 +1,74 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each probe row, find the latest build row of the same key with
+``build.ts <= probe.ts`` (the classic time-series/point-in-time lookup; kdb
+``aj``, pandas ``merge_asof``, DuckDB ``ASOF JOIN``).
+
+Spark-first formulation — NO per-row Python and NO range self-join blowup:
+union both sides with a side tag, then one window per key ordered by
+``(ts, side, id)`` carrying the last-seen build attributes forward
+(``last(..., ignorenulls=True)`` over an unbounded-preceding frame).  One
+shuffle on the key, one per-partition sort — the same cost shape as any
+windowed aggregate, at any scale.  Skewed keys are AQE's business (the
+window itself is per-key sequential by definition).
+
+Tie-breaks are deterministic: among builds sharing the max eligible ``ts``
+the largest ``id`` wins, and a build AT the probe's exact timestamp counts
+(<=, builds sort before probes at equal ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    builds: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    probe_id: str = "event_id",
+    build_id: str = "event_id",
+    value_cols: tuple[str, ...] = ("value",),
+    matched_prefix: str = "matched_",
+) -> DataFrame:
+    """-> one row per probe: (probe_id, <matched_prefix><build_id>,
+    <matched_prefix><value_col>...), null-matched when no prior build.
+    """
+    pid_type = probes.schema[probe_id].dataType
+    bid_type = builds.schema[build_id].dataType
+    bcols = [F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
+             F.col(build_id).alias("_bid"),
+             *[F.col(c).alias(f"_bv_{c}") for c in value_cols],
+             F.lit(None).cast(pid_type).alias("_pid")]
+    pcols = [F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
+             F.lit(None).cast(bid_type).alias("_bid"),
+             *[F.lit(None).cast(builds.schema[c].dataType).alias(f"_bv_{c}")
+               for c in value_cols],
+             F.col(probe_id).alias("_pid")]
+    tagged = builds.select(*bcols).unionByName(probes.select(*pcols))
+
+    # builds sort BEFORE probes at the same ts (side 0 < 1) so ts-equal
+    # builds are eligible; among ts-equal builds the largest id wins
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_bid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "_last_bid", F.last("_bid", ignorenulls=True).over(w)
+    )
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"_last_{c}", F.last(f"_bv_{c}", ignorenulls=True).over(w)
+        )
+    out = carried.where(F.col("_side") == 1).select(
+        F.col("_pid").alias(probe_id),
+        F.col("_last_bid").alias(f"{matched_prefix}{build_id}"),
+        *[
+            F.col(f"_last_{c}").alias(f"{matched_prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return out

@@ -65,3 +65,29 @@ def write_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark (late-data bound).
+
+    Append-mode semantics: a window is emitted once the watermark (max seen
+    event time minus ``watermark``) passes its end, and rows arriving later
+    than that are DROPPED — the bounded-state contract that keeps a crawl
+    aggregation from holding every window forever at 10^12 docs.  The batch
+    analog is q09's tumbling-window aggregate.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"))
+        .count()
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("count").alias("n_events"),
+        )
+    )

@@ -192,3 +192,37 @@ def test_ivf_topk_recall_and_exactness(spark):
     got = {(r.query_id, r.candidate_id) for r in probe2.itertuples()}
     recall = len(gold & got) / len(gold)
     assert recall >= 0.5, recall  # coarse 2-of-8-cell probe on random vecs
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time lookup: latest prior build per key; build AT the
+    probe's exact ts counts; ties on ts pick the largest id; no prior
+    build -> null match."""
+    from datetime import datetime
+
+    from semantic_entity_matching_spark.operators.asof import asof_join
+
+    def t(m):
+        return datetime(2026, 1, 1, 0, m)
+
+    builds = spark.createDataFrame(
+        [("u1", t(1), 101, 1.0), ("u1", t(5), 105, 5.0),
+         ("u1", t(5), 106, 6.0),   # ts tie -> largest id wins
+         ("u2", t(9), 201, 9.0)],
+        "user_id string, ts timestamp, event_id bigint, value double",
+    )
+    probes = spark.createDataFrame(
+        [("u1", t(3), 1001), ("u1", t(5), 1002),  # equal ts -> eligible
+         ("u1", t(8), 1003), ("u2", t(2), 2001),  # before any build -> null
+         ("u3", t(4), 3001)],                     # key never built -> null
+        "user_id string, ts timestamp, event_id bigint",
+    )
+    out = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(probes, builds).collect()
+    }
+    assert out[1001] == (101, 1.0)
+    assert out[1002] == (106, 6.0)  # same-ts build eligible, max id of tie
+    assert out[1003] == (106, 6.0)
+    assert out[2001] == (None, None)
+    assert out[3001] == (None, None)

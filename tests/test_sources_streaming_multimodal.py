@@ -251,3 +251,59 @@ def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
     # u1 wins over u2 (same batch, min id); u4 dropped (hash seen earlier);
     # u5 new; u6 (null) and u7 (blank) pass through — no fingerprint
     assert urls == ["u1", "u3", "u5", "u6", "u7"]
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Watermarked tumbling windows: a row arriving after the watermark
+    passed its window's end is dropped; open windows are not emitted."""
+    from datetime import datetime
+
+    from semantic_entity_matching_spark.sources.synth import WEBPAGES_SCHEMA
+    from semantic_entity_matching_spark.streaming.ingest import windowed_counts
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def page(url, ts):
+        return (url, ts, bytearray(b"<html>"), "text " + url, "en")
+
+    # batch 1: two on-time rows in the 10:00 window, plus a 12:00 row that
+    # advances the watermark to 11:50 (> 11:00 -> the 10:00 window closes)
+    b1 = spark.createDataFrame(
+        [page("u1", datetime(2026, 1, 1, 10, 0)),
+         page("u2", datetime(2026, 1, 1, 10, 10)),
+         page("u3", datetime(2026, 1, 1, 12, 0))],
+        WEBPAGES_SCHEMA,
+    )
+    # batch 2: a LATE row for the closed 10:00 window (dropped) and another
+    # row in the still-open 12:00 window (not emitted yet)
+    b2 = spark.createDataFrame(
+        [page("u4", datetime(2026, 1, 1, 10, 20)),
+         page("u5", datetime(2026, 1, 1, 12, 30))],
+        WEBPAGES_SCHEMA,
+    )
+    def run_batch(df):
+        # sequential query runs over a shared checkpoint: deterministic
+        # batch order AND proof the watermark persists across restarts
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(WEBPAGES_SCHEMA).parquet(src)
+        q = (
+            windowed_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(b1)  # watermark advances to 11:50; 10:00 window closes
+    run_batch(b2)  # u4 arrives behind the watermark -> dropped
+
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {10: 2}  # late u4 dropped; 12:00 window still open
