@@ -689,6 +689,22 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range self-join: all same-user event pairs within 60 s.
+    The naive form is a per-key cross join with an inequality (cartesian in
+    Spark); binning by the gap width turns it into an equi-join on
+    (user, bucket) with an exact post-filter — every qualifying pair shares
+    a bucket since |ta-tb| <= gap bounds the bucket delta to 1.  Oracle:
+    quadratic per-user join in DuckDB on exact epoch microseconds."""
+    from semantic_entity_matching_spark.operators.asof import range_self_join
+
+    events = _t(spark, sf_dir, "events")
+    return range_self_join(
+        events, on="user_id", ts_col="ts", id_col="event_id",
+        max_gap_seconds=60,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -724,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_token_estimate": q31_token_estimate,
         "q32_ivf_topk": q32_ivf_topk,
         "q33_asof_join": q33_asof_join,
+        "q34_range_join": q34_range_join,
     }
 
 
@@ -1430,6 +1447,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.user_id = p.user_id AND b.ts <= p.ts
             ORDER BY b.ts DESC, b.event_id DESC LIMIT 1
         ) b ON TRUE
+    """
+
+    sql["q34_range_join"] = """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        )
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               CAST(abs(a.us - b.us) AS BIGINT) AS gap_us
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+        WHERE abs(a.us - b.us) <= 60000000
     """
 
     return sql

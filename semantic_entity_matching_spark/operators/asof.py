@@ -72,3 +72,60 @@ def asof_join(
         ],
     )
     return out
+
+
+def range_self_join(
+    events: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_seconds: int = 60,
+) -> DataFrame:
+    """All pairs of same-key rows within ``max_gap_seconds`` of each other
+    (id_a < id_b) -> (id_a, id_b, gap_us).  Gap math runs on exact
+    microseconds (``unix_micros``) — second-truncation would misclassify
+    sub-second-precision pairs near the boundary.
+
+    Scale-safe BINNED range join — the naive formulation is a per-key cross
+    join with an inequality predicate, which Spark executes as
+    BroadcastNestedLoop/cartesian.  Instead timestamps land in buckets of
+    the gap width, the probe side also lands in bucket+1, and the exact
+    predicate filters after an EQUI-join on (key, bucket): every qualifying
+    pair shares a bucket this way (|ta-tb| <= gap means their buckets differ
+    by at most 1), candidates are bounded by bucket occupancy, and the join
+    is hash-partitioned like any other.
+    """
+    gap_us = max_gap_seconds * 1_000_000
+    # cast handles TIMESTAMP_NTZ inputs; gap math is a difference, so any
+    # constant session-timezone offset cancels
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(us / F.lit(gap_us))
+    base = events.select(
+        F.col(on), F.col(id_col), us.alias("_sec"), bucket.alias("_b")
+    )
+    left = base.select(
+        F.col(on), F.col("_b"),
+        F.col(id_col).alias("id_a"), F.col("_sec").alias("_sa"),
+    )
+    right = base.select(
+        F.col(on),
+        F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_b"),
+        F.col(id_col).alias("id_b"), F.col("_sec").alias("_sb"),
+    )
+    # the equi-join only finds the orientation where the left row's bucket
+    # is >= the right row's — canonicalize ids AFTER the join (least/
+    # greatest), never pre-filter on id order, or pairs whose later-bucket
+    # member has the smaller id would be lost
+    return (
+        left.join(right, [on, "_b"])
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("_sa") - F.col("_sb")) <= F.lit(gap_us))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.abs(F.col("_sa") - F.col("_sb")).cast("bigint").alias("gap_us"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -226,3 +226,39 @@ def test_asof_join_semantics(spark):
     assert out[1003] == (106, 6.0)
     assert out[2001] == (None, None)
     assert out[3001] == (None, None)
+
+
+def test_range_self_join_boundary_orientations(spark):
+    """Binned range join: pairs straddling a bucket boundary are found even
+    when the later-bucket member has the SMALLER id (canonicalization after
+    the join, not an id pre-filter); exact-gap pairs included, beyond-gap
+    excluded."""
+    from datetime import datetime, timedelta
+
+    from semantic_entity_matching_spark.operators.asof import range_self_join
+
+    t0 = datetime(2026, 1, 1)
+
+    def at(us):
+        return t0 + timedelta(microseconds=us)
+
+    rows = [
+        ("u1", 5, at(100_500_000)),  # bucket 1
+        ("u1", 2, at(130_200_000)),  # bucket 2, gap 29.7s, smaller id later
+        ("u1", 9, at(300_000_000)),  # far away from both
+        ("u2", 11, at(10_000_000)),
+        ("u2", 12, at(70_000_000)),  # exactly 60.0s -> included
+        ("u2", 13, at(70_000_001)),  # 60.000001s from 11 -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id bigint, ts timestamp"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["gap_us"]
+        for r in range_self_join(df, max_gap_seconds=60).collect()
+    }
+    assert out[(2, 5)] == 29_700_000
+    assert out[(11, 12)] == 60_000_000
+    assert (11, 13) not in out
+    assert (12, 13) in out  # 1 microsecond apart
+    assert all(a != 9 and b != 9 for a, b in out)
