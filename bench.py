@@ -60,12 +60,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
         # isolation between queries: drop persisted indexes and pinned
-        # localCheckpoint blocks so query N's storage doesn't tax query N+1
+        # localCheckpoint blocks so query N's storage doesn't tax query N+1.
+        # clearCache only covers the SQL cache; localCheckpoint RDD blocks
+        # are freed by the ContextCleaner AFTER their Python/JVM refs die —
+        # collect both sides and nudge the JVM so the next query starts with
+        # empty storage memory instead of evicting mid-flight.
         spark.catalog.clearCache()
         del df
         import gc
 
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
 
     total = round(sum(times.values()), 3)
 
