@@ -83,12 +83,17 @@ def minhash_near_duplicates(
     pairgen: PairGenConfig | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with true token-set
-    Jaccard -> (id_a, id_b, jaccard)."""
+    Jaccard -> (id_a, id_b, jaccard).
+
+    The threshold is passed into the verifier as ``min_jaccard`` so the
+    exact size-ratio bound prunes candidate pairs BEFORE their token arrays
+    are ever joined — zero recall loss (see :func:`ngram_jaccard_verify`)."""
     lsh = lsh or LSHConfig()
     blocks = minhash_block_keys(df, id_col=id_col, text_col=text_col, config=lsh)
     pairs = generate_candidate_pairs(blocks, id_col=id_col, config=pairgen)
     verified = ngram_jaccard_verify(
-        pairs, df, id_col=id_col, text_col=text_col, n=1
+        pairs, df, id_col=id_col, text_col=text_col, n=1,
+        min_jaccard=jaccard_threshold,
     )
     return verified.where(F.col("jaccard") >= jaccard_threshold)
 
@@ -130,38 +135,95 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 1,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Attach true token-ngram Jaccard to candidate (id_a, id_b) pairs.
 
     Unigrams (the default): tokenization happens ONCE PER DOCUMENT (not per
-    pair) and the per-pair set algebra is JVM-side ``array_intersect`` /
-    ``array_union`` inside whole-stage codegen — no Python in the per-pair
-    hot path, which at web scale is orders of magnitude bigger than the
-    corpus.  n>1 keeps the Arrow-batched pandas UDF (ngram sets are heavier
-    to precompute as columns).  Semantics identical to :func:`jaccard_py`
-    (both-empty => 1.0, one-empty/null => 0.0)."""
+    pair), tokens are hashed to ``array<bigint>`` (``xxhash64``) so the
+    per-pair payload is fixed-width integers instead of strings, and the
+    per-pair set algebra is JVM-side ``array_intersect`` inside whole-stage
+    codegen — no Python and no ``array_union`` in the per-pair hot path
+    (union size is ``|A| + |B| - |A∩B|`` from per-doc distinct counts
+    computed once).  n>1 keeps the Arrow-batched pandas UDF (ngram sets are
+    heavier to precompute as columns).  Semantics identical to
+    :func:`jaccard_py` (both-empty => 1.0, one-empty/null => 0.0) — token
+    identity via 64-bit hash, a ~1e-11 collision probability at web-corpus
+    vocabulary sizes.
+
+    ``min_jaccard`` enables the EXACT size-ratio prefilter: jaccard >= t
+    requires min(|A|,|B|)/max(|A|,|B|) >= t (|A∩B| <= min, |A∪B| >= max),
+    so pairs failing the bound are pruned using only the cheap per-doc
+    counts — their arrays are never joined, and no pair with
+    jaccard >= min_jaccard is ever lost.  Pairs at or above the bound get
+    their true jaccard as usual.  The pruned pairs are simply absent from
+    the output (they could only ever carry jaccard < min_jaccard)."""
     if n <= 1:
+        tok_arr = F.array_distinct(
+            F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+        )
         toks = records.select(
             F.col(id_col),
-            F.array_distinct(
-                F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-            ).alias("_tok"),
+            F.transform(tok_arr, lambda x: F.xxhash64(x)).alias("_tok"),
+        ).withColumn("_ntok", F.size("_tok"))  # null array -> -1 (sentinel)
+
+        if min_jaccard is not None and min_jaccard > 0.0:
+            # counts-only prefilter join: (id, _ntok) is a handful of bytes
+            # per doc — prune before any array ships.  _ntok semantics:
+            # -1 = null text (jaccard 0), 0 = empty (jaccard 1 iff both 0).
+            counts = toks.select(F.col(id_col), F.col("_ntok"))
+            pairs = (
+                pairs.join(
+                    counts.select(
+                        F.col(id_col).alias("id_a"), F.col("_ntok").alias("_ca")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    counts.select(
+                        F.col(id_col).alias("id_b"), F.col("_ntok").alias("_cb")
+                    ),
+                    "id_b",
+                )
+                .where(
+                    # keep iff NOT provably below min_jaccard:
+                    ((F.col("_ca") == 0) & (F.col("_cb") == 0))  # jaccard 1.0
+                    | (
+                        (F.col("_ca") > 0)
+                        & (F.col("_cb") > 0)
+                        & (
+                            F.least("_ca", "_cb").cast("double")
+                            / F.greatest("_ca", "_cb").cast("double")
+                            >= F.lit(float(min_jaccard))
+                        )
+                    )
+                )
+                .drop("_ca", "_cb")
+            )
+
+        a = toks.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_tok").alias("_ta"),
+            F.col("_ntok").alias("_na"),
         )
-        a = toks.select(F.col(id_col).alias("id_a"), F.col("_tok").alias("_ta"))
-        b = toks.select(F.col(id_col).alias("id_b"), F.col("_tok").alias("_tb"))
+        b = toks.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_tok").alias("_tb"),
+            F.col("_ntok").alias("_nb"),
+        )
         inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-        union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+        union = F.col("_na") + F.col("_nb") - inter
         jac = (
             F.when(F.col("_ta").isNull() | F.col("_tb").isNull(), F.lit(0.0))
-            .when((F.size("_ta") == 0) & (F.size("_tb") == 0), F.lit(1.0))
-            .when((F.size("_ta") == 0) | (F.size("_tb") == 0), F.lit(0.0))
+            .when((F.col("_na") == 0) & (F.col("_nb") == 0), F.lit(1.0))
+            .when((F.col("_na") == 0) | (F.col("_nb") == 0), F.lit(0.0))
             .otherwise(inter.cast("double") / union.cast("double"))
         )
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
             .withColumn("jaccard", jac)
-            .drop("_ta", "_tb")
+            .drop("_ta", "_tb", "_na", "_nb")
         )
 
     from pyspark.sql.functions import pandas_udf
