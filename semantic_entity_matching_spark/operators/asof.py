@@ -38,14 +38,27 @@ def asof_join(
     """
     pid_type = probes.schema[probe_id].dataType
     bid_type = builds.schema[build_id].dataType
+    # a build with NULL ts has no position on the time axis — the SQL
+    # semantics (b.ts <= p.ts) exclude it, so exclude it here too (a null
+    # ts would otherwise sort first and become eligible for every probe)
+    builds = builds.where(F.col(ts_col).isNotNull())
+    # the build's id and value columns travel as ONE atomic struct: a build
+    # whose value column is NULL must still supersede older builds (the
+    # newest eligible build wins as a ROW, not per-column) — carrying
+    # columns independently with last(ignorenulls) would resurrect an older
+    # build's non-null value next to the newest build's id
+    payload = F.struct(
+        F.col(build_id).alias("_bid"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    payload_type = builds.select(payload.alias("_p")).schema["_p"].dataType
     bcols = [F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
-             F.col(build_id).alias("_bid"),
-             *[F.col(c).alias(f"_bv_{c}") for c in value_cols],
+             F.col(build_id).alias("_bord"),
+             payload.alias("_bpay"),
              F.lit(None).cast(pid_type).alias("_pid")]
     pcols = [F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
-             F.lit(None).cast(bid_type).alias("_bid"),
-             *[F.lit(None).cast(builds.schema[c].dataType).alias(f"_bv_{c}")
-               for c in value_cols],
+             F.lit(None).cast(bid_type).alias("_bord"),
+             F.lit(None).cast(payload_type).alias("_bpay"),
              F.col(probe_id).alias("_pid")]
     tagged = builds.select(*bcols).unionByName(probes.select(*pcols))
 
@@ -53,21 +66,17 @@ def asof_join(
     # builds are eligible; among ts-equal builds the largest id wins
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_bid").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_bord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.withColumn(
-        "_last_bid", F.last("_bid", ignorenulls=True).over(w)
+        "_last", F.last("_bpay", ignorenulls=True).over(w)
     )
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"_last_{c}", F.last(f"_bv_{c}", ignorenulls=True).over(w)
-        )
     out = carried.where(F.col("_side") == 1).select(
         F.col("_pid").alias(probe_id),
-        F.col("_last_bid").alias(f"{matched_prefix}{build_id}"),
+        F.col("_last._bid").alias(f"{matched_prefix}{build_id}"),
         *[
-            F.col(f"_last_{c}").alias(f"{matched_prefix}{c}")
+            F.col(f"_last.{c}").alias(f"{matched_prefix}{c}")
             for c in value_cols
         ],
     )

@@ -19,7 +19,7 @@ import sys
 
 import duckdb
 
-TABLES = "region nation customer supplier part orders lineitem events".split()
+TABLES = "region nation customer supplier part orders lineitem".split()
 
 
 def main() -> None:
@@ -40,6 +40,20 @@ def main() -> None:
           FROM read_parquet('{src}/documents.parquet')
         ) TO '{dst}/documents.parquet' (FORMAT parquet)
     """)
+    # events: NULL value (asof payload atomicity — the newest eligible build
+    # must win as a ROW even when its value is NULL) and NULL ts (no
+    # position on the time axis: excluded from asof/range/window semantics
+    # in both engines)
+    con.sql(f"""
+        COPY (
+          SELECT event_id,
+                 CASE WHEN event_id % 53 = 9 THEN NULL ELSE ts END AS ts,
+                 user_id, event_type,
+                 CASE WHEN event_id % 43 = 6 THEN NULL ELSE value END AS value,
+                 props
+          FROM read_parquet('{src}/events.parquet')
+        ) TO '{dst}/events.parquet' (FORMAT parquet)
+    """)
     con.sql(f"""
         COPY (
           SELECT vec_id, label,
@@ -53,7 +67,15 @@ def main() -> None:
                    count(*) FILTER (lang is null)
             from read_parquet('{dst}/documents.parquet')"""
     ).fetchone()
-    print(f"wrote {dst}: null_text={stats[0]} blank_text={stats[1]} null_lang={stats[2]}")
+    estats = duckdb.sql(
+        f"""select count(*) FILTER (ts is null),
+                   count(*) FILTER (value is null)
+            from read_parquet('{dst}/events.parquet')"""
+    ).fetchone()
+    print(
+        f"wrote {dst}: null_text={stats[0]} blank_text={stats[1]} "
+        f"null_lang={stats[2]} null_ts={estats[0]} null_value={estats[1]}"
+    )
 
 
 if __name__ == "__main__":
