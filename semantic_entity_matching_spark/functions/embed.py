@@ -255,11 +255,17 @@ def vectorize_columns(
         out_col = "_".join(columns) + embedding_column_suffix
         return df.withColumn(out_col, udf(combined_text).alias(out_col, metadata=meta))
     if getattr(provider, "single_output", False):
-        shared = udf(combined_text)
+        # materialize the shared embedding into ONE temp column first, then
+        # alias it into each sibling: Catalyst does not guarantee common-
+        # subexpression elimination across N projected copies of the same
+        # Python UDF expression, but a column reference is always free —
+        # this guarantees one UDF evaluation regardless of sibling count
+        tmp = "__single_output_embedding__"
+        df = df.withColumn(tmp, udf(combined_text))
         for c in columns:
             name = f"{c}{embedding_column_suffix}"
-            df = df.withColumn(name, shared.alias(name, metadata=meta))
-        return df
+            df = df.withColumn(name, F.col(tmp).alias(name, metadata=meta))
+        return df.drop(tmp)
     for c in columns:
         name = f"{c}{embedding_column_suffix}"
         df = df.withColumn(

@@ -181,6 +181,13 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _ivf_sample_plan(src: DataFrame, n_vecs: int, sample_n: int) -> DataFrame:
+    """Hash-range sampling filter over ``src(_h, v)`` — the plan is a pure
+    filter (no Sort/TakeOrdered), sized so ~2×sample_n rows survive."""
+    mod = max(1, n_vecs // max(1, 2 * sample_n))
+    return src.where(F.pmod(F.col("_h"), F.lit(mod)) == 0)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -190,19 +197,25 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """k-means coarse quantizer trained on a bounded, DETERMINISTIC sample
-    (rows ordered by xxhash64(id) — partitioning-independent, unlike
-    ``df.sample``).  Lloyd iterations run in numpy on the driver: the
-    centroid table is tiny (nlist × dim) and training data is capped at
-    ``sample_n`` rows, so this never scales with the corpus.  Empty cells
-    re-seed to the farthest point (k-means++-ish repair)."""
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .where(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_n)
-        .collect()
+    """k-means coarse quantizer trained on a bounded, DETERMINISTIC sample.
+
+    Sampling is a hash-range FILTER, not a sort: rows with
+    ``pmod(xxhash64(id), m) == 0`` (m sized from a metadata-cheap count so
+    ~2×sample_n rows survive) are collected and the final ``sample_n`` are
+    picked by hash order driver-side.  Partitioning-independent like the
+    old ``orderBy(xxhash64).limit`` formulation, but the plan is scan →
+    filter → collect — no Sort / TakeOrdered node touches the corpus at any
+    scale.  Lloyd iterations run in numpy on the driver: the centroid table
+    is tiny (nlist × dim) and training data is capped at ``sample_n`` rows,
+    so this never scales with the corpus.  Empty cells re-seed to the
+    farthest point (k-means++-ish repair)."""
+    src = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("v")
     )
+    n_vecs = src.count()
+    rows = _ivf_sample_plan(src, n_vecs, sample_n).collect()
+    rows.sort(key=lambda r: r["_h"])
+    rows = rows[:sample_n]
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(mat) == 0:
         raise ValueError("cannot train IVF centroids on an empty corpus")

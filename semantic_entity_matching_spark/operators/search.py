@@ -26,6 +26,27 @@ from semantic_entity_matching_spark.operators.ann import brute_force_topk
 DEFAULT_SEARCH_TOP_K = 50  # reference lib/search_and_rerank.py:35
 DEFAULT_EVAL_SIZE = 50  # reference lib/evaluate.py:119
 
+# persisted inverted indexes (see lexical_topk) — a deterministic unpersist
+# handle so long-lived sessions don't accumulate executor storage until LRU
+_PERSISTED_INDEXES: list[DataFrame] = []
+
+
+def unpersist_lexical_indexes(blocking: bool = False) -> int:
+    """Unpersist every inverted index cached by :func:`lexical_topk` so far.
+
+    Call after the retrieval results are materialized (the cached index is
+    consumed lazily by the returned DataFrame).  Returns the number of
+    indexes released."""
+    n = 0
+    while _PERSISTED_INDEXES:
+        df = _PERSISTED_INDEXES.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:  # session already stopped — nothing to release
+            pass
+        n += 1
+    return n
+
 
 def drop_embedding_columns(
     df: DataFrame, suffix: str = EMBEDDING_COLUMN_SUFFIX
@@ -65,8 +86,10 @@ def lexical_topk(
 
     ``persist_index=True`` caches the inverted index for the duration of
     the plan (and any further retrievals this session); Spark evicts it
-    LRU, but a long-lived service issuing many one-shot retrievals should
-    pass False or call ``spark.catalog.clearCache()`` between batches.
+    LRU, and every cached index is registered so
+    :func:`unpersist_lexical_indexes` releases them deterministically once
+    the top-k is materialized — a long-lived service should call it (or
+    pass False) between batches.
 
     ``max_df_ratio`` drops terms whose document frequency exceeds
     ``ratio * N`` BEFORE the query-term join: stopword-grade terms appear in
@@ -92,6 +115,7 @@ def lexical_topk(
     )
     if persist_index:
         terms = terms.persist()
+        _PERSISTED_INDEXES.append(terms)
     # ONE action computes both corpus stats and materializes the cache —
     # everything downstream reuses the tokenized index
     row = terms.agg(

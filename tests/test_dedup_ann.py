@@ -194,6 +194,23 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert recall >= 0.5, recall  # coarse 2-of-8-cell probe on random vecs
 
 
+def test_ivf_sampling_plan_has_no_sort(spark):
+    """Centroid-training sample is a hash-range filter — at 10^12 docs a
+    global orderBy (even as TakeOrdered) scans-and-heaps the whole corpus;
+    the filter plan must contain no Sort/TakeOrdered node."""
+    from semantic_entity_matching_spark.operators.ann import _ivf_sample_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.where(F.col("embedding").isNotNull()).select(
+        F.xxhash64(F.col("vec_id")).alias("_h"), F.col("embedding").alias("v")
+    )
+    plan = _ivf_sample_plan(src, n_vecs=src.count(), sample_n=100)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in txt and "TakeOrdered" not in txt, txt
+    # and the filter still yields a deterministic, bounded sample
+    assert plan.count() > 0
+
+
 def test_asof_join_semantics(spark):
     """Point-in-time lookup: latest prior build per key; build AT the
     probe's exact ts counts; ties on ts pick the largest id; no prior

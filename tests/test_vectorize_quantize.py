@@ -97,6 +97,12 @@ def test_single_output_fallback_assigns_shared_embedding(people):
     )
     assert row["name_embedding"] == pytest.approx(expected)
     assert row["bio_embedding"] == pytest.approx(expected)
+    # the shared embedding must be EVALUATED once, not once per sibling:
+    # the optimized plan carries a single Python UDF instance (Catalyst does
+    # not CSE duplicated Python UDF expressions, so the implementation must
+    # route both siblings through one temp column)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("_embed(") == 1, plan
 
 
 # ---------------------------------------------------------------------------
