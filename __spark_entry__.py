@@ -545,6 +545,12 @@ def q29_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank conventions diverge across engines (JW('','') is 1.0 here, 0.0
     # in DuckDB), so P4 applies to BOTH sides
     docs = docs.where(valid_query_filter("text"))
+    # a single-file corpus scans as ONE split, and everything downstream of
+    # it here is map-side (embed UDF -> broadcast cosine) — without an
+    # explicit exchange the whole retrieval would run single-task.  One
+    # narrow shuffle of the raw text rows buys full parallelism for the
+    # UDF chain; at real scale the file count provides this for free.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     embed = HashEmbeddingProvider(dim=1024).udf()
     corpus = docs.select(
         F.col("doc_id").alias("candidate_id"),

@@ -53,25 +53,49 @@ def main() -> None:
     # warm the JVM/session on a trivial action so q1 doesn't pay startup
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    times: dict[str, float] = {}
-    for name in headline:
-        t0 = time.time()
-        df = qfns[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        # isolation between queries: drop persisted indexes and pinned
-        # localCheckpoint blocks so query N's storage doesn't tax query N+1.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def _isolate() -> None:
+        # isolation between runs: drop persisted indexes and pinned
+        # localCheckpoint blocks so run N's storage doesn't tax run N+1.
         # clearCache only covers the SQL cache; localCheckpoint RDD blocks
         # are freed by the ContextCleaner AFTER their Python/JVM refs die —
-        # collect both sides and nudge the JVM so the next query starts with
+        # collect both sides and nudge the JVM so the next run starts with
         # empty storage memory instead of evicting mid-flight.
+        from semantic_entity_matching_spark.operators.search import (
+            unpersist_lexical_indexes,
+        )
+
+        unpersist_lexical_indexes()
         spark.catalog.clearCache()
-        del df
         import gc
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
+
+    # median-of-n: single-run numbers proved unusable (q21 round 2 measured
+    # 51.6 / 94.2 / 247.4 s builder/judge/driver) — report median + spread
+    times: dict[str, float] = {}
+    detail: dict[str, dict[str, float]] = {}
+    for name in headline:
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = qfns[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            del df
+            _isolate()
+        runs_sorted = sorted(runs)
+        median = runs_sorted[len(runs_sorted) // 2]
+        times[name] = median
+        detail[name] = {
+            "median": median,
+            "min": runs_sorted[0],
+            "max": runs_sorted[-1],
+            "runs": runs,
+        }
 
     total = round(sum(times.values()), 3)
 
@@ -106,6 +130,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_detail": detail,
+                "runs_per_query": n_runs,
                 "sf": _sf_from_dir(SF_DIR),
                 "quantized_payload_bytes": {
                     "float32": f32,

@@ -86,6 +86,75 @@ def test_jaro_winkler_known_values():
     assert jaro_winkler_py("abc", "xyz") == 0.0
 
 
+def _jaro_textbook(s1: str, s2: str) -> float:
+    """The O(len1×window) double-loop reference the fast jaro_py must match
+    bit-for-bit (this was the shipped implementation through round 2)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions // 2
+    m = matches
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def test_jaro_fast_equals_textbook():
+    """The per-char-queue O(n+m) jaro must be BIT-IDENTICAL to the textbook
+    windowed scan on adversarial cases: repeats, skewed lengths, windows of
+    0, unicode, and random strings over tiny alphabets (maximum flag/window
+    interaction)."""
+    import random
+
+    from semantic_entity_matching_spark.functions.similarity import jaro_py
+
+    cases = [
+        ("", ""), ("a", ""), ("", "a"), ("a", "a"), ("ab", "ba"),
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("aaaa", "aaa"),
+        ("aabbaabb", "bbaabbaa"), ("abcabc", "cbacba"),
+        ("x" * 50, "x" * 49 + "y"), ("café", "cafe"),
+    ]
+    rng = random.Random(1234)
+    for _ in range(500):
+        n1 = rng.randrange(0, 30)
+        n2 = rng.randrange(0, 30)
+        alpha = "ab" if rng.random() < 0.5 else "abcd"
+        cases.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(n1)),
+                "".join(rng.choice(alpha) for _ in range(n2)),
+            )
+        )
+    for s1, s2 in cases:
+        assert jaro_py(s1, s2) == _jaro_textbook(s1, s2), (s1, s2)
+
+
 def test_string_similarity_udfs(spark):
     df = spark.createDataFrame(
         [("MARTHA", "MARHTA"), ("abc", "abc"), (None, "abc")], "a string, b string"
