@@ -711,6 +711,49 @@ def q34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-family contract (S1 CSV scan + latin-1 fallback, S3 ordered
+    skip/limit resume, S4 vector parse-on-scan with null-on-mismatch).
+
+    The Spark side reads the LATIN-1-encoded fixture — forcing the
+    utf-8 -> latin-1 fallback (reference lib/data_reader.py:62-79) to
+    actually fire — while the DuckDB oracle reads the byte-different UTF-8
+    twin of the same logical content (DuckDB 1.0 cannot decode latin-1):
+    if the fallback mis-decodes anything, the accented text columns
+    hash-mismatch.  Embedding strings parse to array<float>
+    (reference ingest vector parse, apps/cli/commands/ingest.py:149-165);
+    fixture values are exact binary fractions so the sum is
+    engine-exact.  skip/limit follow the reference's offset resume
+    (lib/data_reader.py:38-49) over the explicit row_id order."""
+    from semantic_entity_matching_spark.sources.readers import (
+        parse_vector_transformation,
+        read_csv,
+    )
+
+    df = read_csv(
+        spark,
+        "/root/repo/fixtures/q35_catalog_latin1.csv",
+        skip_rows=5,
+        limit_rows=20,
+        order_col="row_id",
+        transformations=[parse_vector_transformation(("embedding",))],
+    )
+    vec_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+    return df.select(
+        F.col("row_id").cast("bigint").alias("row_id"),
+        "name",
+        "city",
+        F.when(F.col("embedding").isNotNull(), F.size("embedding"))
+        .cast("bigint")
+        .alias("vec_dim"),
+        F.round(vec_sum, 6).alias("vec_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -747,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_ivf_topk": q32_ivf_topk,
         "q33_asof_join": q33_asof_join,
         "q34_range_join": q34_range_join,
+        "q35_csv_scan": q35_csv_scan,
     }
 
 
@@ -1464,6 +1508,24 @@ def oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b
           ON a.user_id = b.user_id AND a.event_id < b.event_id
         WHERE abs(a.us - b.us) <= 60000000
+    """
+
+    # q35 — scan family (S1/S3/S4).  The oracle reads the UTF-8 twin of the
+    # latin-1 fixture the Spark side decodes via its encoding fallback
+    # (DuckDB 1.0 has no latin-1 CSV support); identical logical content,
+    # so a fallback mis-decode = hash mismatch on the accented columns.
+    sql["q35_csv_scan"] = """
+        WITH raw AS (
+          SELECT row_id, name, city, embedding
+          FROM read_csv('/root/repo/fixtures/q35_catalog_utf8.csv', header=true)
+          ORDER BY row_id
+          LIMIT 20 OFFSET 5
+        )
+        SELECT CAST(row_id AS BIGINT) AS row_id, name, city,
+               CAST(len(v) AS BIGINT) AS vec_dim,
+               round(list_sum(list_transform(v, x -> CAST(x AS DOUBLE))), 6)
+                 AS vec_sum
+        FROM (SELECT *, TRY_CAST(embedding AS FLOAT[]) AS v FROM raw)
     """
 
     return sql

@@ -65,19 +65,22 @@ def read_csv(
     df = spark.read.options(**base, encoding="UTF-8").csv(path)
     # Spark substitutes U+FFFD for undecodable bytes instead of raising, so
     # the utf-8 -> latin-1 fallback (reference lib/data_reader.py:62-79) is
-    # triggered by detecting replacement chars.  Costs one extra pass over
-    # string columns — CSV is the small-catalog path, never the 100 TB one.
+    # triggered by detecting replacement chars.  ONE probe job computes both
+    # the row count (empty-file check) and the mojibake flag — CSV is the
+    # small-catalog path, never the 100 TB one, but no reason to scan twice.
     str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
-    if str_cols:
-        cond = F.lit(False)
-        for c in str_cols:
-            cond = cond | (F.instr(F.col(c), "�") > 0)
-        bad = df.where(cond).limit(1).count()
-        if bad:
-            df = spark.read.options(**base, encoding="ISO-8859-1").csv(path)
-    if df.rdd.isEmpty():
+    cond = F.lit(False)
+    for c in str_cols:
+        cond = cond | (F.instr(F.col(c), "�") > 0)
+    probe = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(cond.cast("int")).alias("bad"),
+    ).first()
+    if not probe["n"]:
         # reference raises on empty files (lib/data_reader.py: empty-file error)
         raise ValueError(f"empty input file: {path}")
+    if probe["bad"]:
+        df = spark.read.options(**base, encoding="ISO-8859-1").csv(path)
     if skip_rows or limit_rows is not None:
         if order_col is None:
             raise ValueError(
