@@ -69,6 +69,19 @@ class MatchConfig:
     # partitioning (the same round-before-rank convention as the search
     # operators).  None = raw float compare.
     score_round: int | None = None
+    # quantized PRE-scoring (reference EmbeddingType, lib/bedrock/types.py:
+    # 20-27): 'int8' carries array<tinyint> through the candidate-pair join
+    # (4× fewer vector bytes on the biggest shuffle of the pipeline),
+    # 'binary' packed sign bits (32×).  Survivors of the approximate
+    # cutoff are re-scored with EXACT float cosine, so every downstream
+    # stage (rerank bound, threshold, edges, clusters) sees true scores.
+    quantization: str | None = None
+    # how far below the rerank cosine cutoff the approximate score may sit
+    # before a pair is dropped unscored.  Must upper-bound the quantization
+    # error of the chosen scheme (measured on token-hash embeddings at dim
+    # 256: int8 error < 0.02, sign-sketch error < 0.12); None = scheme
+    # default (0.08 int8, 0.25 binary).
+    quantize_margin: float | None = None
 
 
 @dataclass
@@ -125,15 +138,71 @@ def score_pairs(
     table is the biggest intermediate, and shuffling two text payloads per
     pair dwarfs the embeddings.  The rerank stage joins texts only for the
     (much smaller) survivor set.
+
+    With ``config.quantization`` the pair join carries the QUANTIZED
+    vectors (int8 4× / packed-bit 32× smaller payload); pairs whose
+    approximate cosine sits more than ``quantize_margin`` below the rerank
+    cutoff are dropped unscored (they could never become edges as long as
+    the margin bounds the quantization error), and the survivors — a small
+    fraction on realistic corpora — are re-scored with exact float cosine
+    via a second narrow join.  Cluster output is identical to the float
+    path whenever the margin assumption holds (pinned by pytest).
     """
     feat = records.select(
         F.col(config.id_col).alias("_rid"),
         F.col("embedding").alias("_emb"),
     )
+    if config.quantization in (None, "float"):
+        a = feat.select(F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a"))
+        b = feat.select(F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("cosine", cosine_udf(F.col("emb_a"), F.col("emb_b")))
+            .select("id_a", "id_b", "block_key", "cosine")
+        )
+
+    import math
+
+    from semantic_entity_matching_spark.functions.quantize import (
+        binary_hamming_udf,
+        int8_cosine_udf,
+        quantize,
+    )
+
+    if config.quantization not in ("int8", "binary", "ubinary"):
+        raise ValueError(
+            f"unsupported pre-scoring quantization {config.quantization!r}"
+            " (use None/'float', 'int8', 'binary' or 'ubinary')"
+        )
+    margin = config.quantize_margin
+    if margin is None:
+        margin = 0.08 if config.quantization == "int8" else 0.25
+    approx_cutoff = rerank_cosine_cutoff(config) - margin - 1e-6
+
+    q = quantize(feat, "_emb", config.quantization, out_col="_q").select(
+        "_rid", "_q"
+    )
+    qa = q.select(F.col("_rid").alias("id_a"), F.col("_q").alias("_qa"))
+    qb = q.select(F.col("_rid").alias("id_b"), F.col("_q").alias("_qb"))
+    if config.quantization == "int8":
+        approx = int8_cosine_udf(F.col("_qa"), F.col("_qb"))
+    else:
+        h = binary_hamming_udf(F.col("_qa"), F.col("_qb"))
+        approx = F.cos(
+            F.lit(math.pi) * h.cast("double")
+            / (F.octet_length(F.col("_qa")).cast("double") * F.lit(8.0))
+        )
+    kept = (
+        pairs.join(qa, "id_a")
+        .join(qb, "id_b")
+        .where(approx >= F.lit(approx_cutoff))
+        .select("id_a", "id_b", "block_key")
+    )
     a = feat.select(F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a"))
     b = feat.select(F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b"))
     return (
-        pairs.join(a, "id_a")
+        kept.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cosine", cosine_udf(F.col("emb_a"), F.col("emb_b")))
         .select("id_a", "id_b", "block_key", "cosine")

@@ -43,6 +43,26 @@ def test_gold_pair_f1(spark, corpus):
     )
 
 
+@pytest.mark.parametrize("scheme", ["int8", "binary"])
+def test_quantized_prescoring_preserves_clusters(spark, corpus, scheme):
+    """MatchConfig(quantization=...) shrinks the pair-join payload but must
+    not change the OUTPUT: the approximate cutoff (cutoff - margin) only
+    drops pairs the exact cosine bound would also prune, and survivors are
+    re-scored with exact float cosine — so edges and clusters are identical
+    to the float path."""
+    pages, _ = corpus
+    base = run_pipeline(pages, MatchConfig())
+    quant = run_pipeline(pages, MatchConfig(quantization=scheme))
+    edges_f = {(r.id_a, r.id_b) for r in base.edges.collect()}
+    edges_q = {(r.id_a, r.id_b) for r in quant.edges.collect()}
+    assert edges_q == edges_f
+    clus_f = sorted((r[0], r[1]) for r in base.clusters.collect())
+    clus_q = sorted((r[0], r[1]) for r in quant.clusters.collect())
+    assert clus_q == clus_f
+    # and the prescore actually pruned something (payload win is real)
+    assert quant.counters["pairs_scored"] <= base.counters["pairs_scored"]
+
+
 def test_pipeline_counters(spark, corpus):
     pages, _ = corpus
     result = run_pipeline(pages, MatchConfig())
