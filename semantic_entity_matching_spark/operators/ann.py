@@ -130,6 +130,7 @@ def lsh_topk(
     seed: int = 42,
     overfetch: int = 2,
     exclude_self: bool = False,
+    score_round: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k (random hyperplane / SimHash family,
     Charikar'02).  Work is proportional to bucket collisions, not |Q|x|C|.
@@ -166,6 +167,8 @@ def lsh_topk(
         .withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
         .where(F.col("score").isNotNull())
     )
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), score_round))
     # over-fetch happens implicitly at candidate generation (each query's
     # bucket set yields >= k*overfetch collisions when n_tables is sized
     # right); the final exact rank truncates to k like the reference's

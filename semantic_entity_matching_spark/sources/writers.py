@@ -2,10 +2,11 @@
 
 The reference's sink is OpenSearch bulk-ingest with create-op idempotency
 (lib/ingest.py:56-188); ours is a table write with merge-style idempotency.
-With the Iceberg runtime on the classpath the same calls route to real
-Iceberg DDL/MERGE; in this sandbox they fall back to Parquet directories
-plus the key-based anti-join (identical observable semantics: re-running an
-ingest never duplicates rows).
+With the Iceberg runtime on the classpath (pass ``table=`` to
+:class:`TableSink`) the same calls route to real Iceberg DDL +
+``MERGE INTO``; otherwise they fall back to Parquet directories plus the
+key-based anti-join (identical observable semantics: re-running an ingest
+never duplicates rows).
 """
 
 from __future__ import annotations
@@ -36,35 +37,97 @@ class TableSink:
       lib/ingest.py:90-94)
     * ``truncate`` == _delete_by_query match_all (repositories/index.py:145)
     * ``drop``     == indices.delete ignore 404 (repositories/index.py:170)
+
+    Two backends behind one interface:
+
+    * **Iceberg** (``table='catalog.db.name'`` + runtime jar on the
+      classpath): DDL/MERGE against a real catalog — append_idempotent is
+      ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT *`` (one snapshot
+      commit, no read-modify-write), truncate is ``DELETE FROM``, drop is
+      ``DROP TABLE ... PURGE``.  This is the production path the
+      north_star names; exercised by the skip-without-jar pytest
+      (tests/test_sources_streaming_multimodal.py) on clusters that ship
+      the jar.
+    * **Parquet directory** (``path=``): anti-join + append fallback for
+      environments without the runtime (this sandbox).
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "url"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str = "",
+        key: str = "url",
+        table: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.table = table
+        if table is not None and not iceberg_available(spark):
+            raise RuntimeError(
+                "TableSink(table=...) needs the iceberg-spark runtime jar "
+                "on the classpath; pass path= for the parquet fallback"
+            )
+        if table is None and not path:
+            raise ValueError("TableSink needs either path= or table=")
+
+    # -- existence / read ---------------------------------------------------
 
     def exists(self) -> bool:
+        if self.table is not None:
+            return self.spark.catalog.tableExists(self.table)
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
     def read(self) -> DataFrame:
+        if self.table is not None:
+            return self.spark.read.table(self.table)
         return self.spark.read.parquet(self.path)
 
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
 
+    # -- writes -------------------------------------------------------------
+
     def overwrite(self, df: DataFrame) -> None:
+        if self.table is not None:
+            df.writeTo(self.table).createOrReplace()
+            return
         df.write.mode("overwrite").parquet(self.path)
 
     def append_idempotent(self, df: DataFrame) -> int:
         """Insert rows whose key is not yet present; returns rows written.
 
-        On Iceberg this is ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT``;
-        the Parquet fallback anti-joins then appends — same end state, at
-        the cost of read-modify-write instead of a snapshot commit.
+        Iceberg: ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` — a single
+        atomic snapshot commit (concurrent writers serialize at the catalog,
+        which is what makes the create-op idempotent under retries at
+        scale).  Parquet fallback: anti-join then append — same end state,
+        at the cost of read-modify-write.
         """
         if not self.exists():
-            df.write.mode("overwrite").parquet(self.path)
+            self.overwrite(df)
             return self.count()
+        if self.table is not None:
+            before = self.count()
+            view = f"_sink_incoming_{abs(hash(self.table)) % 10**8}"
+            # dedup the incoming batch on the key first: MERGE requires at
+            # most one source row per target row, and the reference's bulk
+            # create-op keeps the FIRST occurrence
+            from pyspark.sql import Window, functions as F
+
+            w = Window.partitionBy(self.key).orderBy(F.monotonically_increasing_id())
+            df.withColumn("_rn", F.row_number().over(w)).where(
+                F.col("_rn") == 1
+            ).drop("_rn").createOrReplaceTempView(view)
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.table} t
+                USING {view} s
+                ON t.{self.key} = s.{self.key}
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+            self.spark.catalog.dropTempView(view)
+            return self.count() - before
         fresh = resume_anti_join(df, self.read(), key=self.key)
         n = fresh.count()
         if n:
@@ -72,6 +135,10 @@ class TableSink:
         return n
 
     def truncate(self) -> None:
+        if self.table is not None:
+            if self.exists():
+                self.spark.sql(f"DELETE FROM {self.table}")
+            return
         if self.exists():
             empty = self.read().limit(0)
             # materialize schema before clobbering the files it reads
@@ -80,4 +147,7 @@ class TableSink:
             empty.write.mode("overwrite").parquet(self.path)
 
     def drop(self) -> None:
+        if self.table is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.table} PURGE")
+            return
         shutil.rmtree(self.path, ignore_errors=True)  # ignore-404 analog
