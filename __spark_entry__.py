@@ -384,7 +384,10 @@ def q21_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically — provided banding recall is 1 at the threshold.  Verified
     on this corpus: 0 of 9,020 true pairs missed (16 bands × 8 rows, two
     hash families; per-family miss probability at j=0.9 is (1-0.9^8)^16 ≈
-    1.2e-4 per pair).  The production block-size cap is lifted here: the
+    1.2e-4 per pair).  Recall 1 is an EMPIRICAL corpus property — after any
+    fixture regeneration re-run ``tools/verify_banding_recall.py``
+    (FIXTURES.md §8), which checks the candidate set against the quadratic
+    truth deterministically.  The production block-size cap is lifted here: the
     synthetic corpus's duplicate families exceed 50 docs, and a capped run
     silently drops them — at web scale the cap returns and its drops are
     audited (``blocks_dropped`` counter / ``dropped_blocks_audit``).

@@ -204,3 +204,48 @@ def test_jaccard_py_matches_jvm_on_unicode_whitespace(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     jvm = ngram_jaccard_verify(pairs, df, id_col="doc_id").first()["jaccard"]
     assert abs(jvm - jaccard_py(a, b)) < 1e-12
+
+
+def test_banding_recall_is_1_on_fixture(spark):
+    """q21's oracle equivalence needs LSH banding recall exactly 1 at the
+    contract threshold (an empirical corpus property; see FIXTURES.md §8 and
+    tools/verify_banding_recall.py for the full-fixture pre-flight).  Pin it
+    on the smoke fixture so a regenerated corpus fails HERE deterministically
+    instead of hash-mismatching q21 nondeterministically."""
+    from semantic_entity_matching_spark.operators.blocking import (
+        LSHConfig,
+        minhash_block_keys,
+    )
+    from semantic_entity_matching_spark.operators.dedup import (
+        ngram_jaccard_verify,
+    )
+    from semantic_entity_matching_spark.operators.pairs import (
+        PairGenConfig,
+        generate_candidate_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    truth = (
+        ngram_jaccard_verify(
+            all_pairs, docs, id_col="doc_id", text_col="text", min_jaccard=0.9
+        )
+        .where(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    blocks = minhash_block_keys(
+        docs, id_col="doc_id", text_col="text", config=LSHConfig()
+    )
+    cand = generate_candidate_pairs(
+        blocks,
+        id_col="doc_id",
+        config=PairGenConfig(max_block_size=1_000_000, hot_block_threshold=20),
+    ).select("id_a", "id_b")
+    n_truth = truth.count()
+    assert n_truth > 0  # the fixture must actually contain near-dups
+    assert truth.join(cand, ["id_a", "id_b"], "left_anti").count() == 0
