@@ -250,8 +250,20 @@ def sorted_neighborhood_keys(
     two rows within window/2 positions share a key.  The raw prefix is also
     emitted ('snp:'), which covers cross-bucket/identical-prefix pairs.
     """
+    # the key needs only the first prefix_len ALPHANUMERIC chars — run the
+    # regex over a bounded head of the text, not the whole page (measured
+    # 10× on 7.5 KB pages; only a text whose first 20×prefix_len chars
+    # contain fewer than prefix_len alphanumerics — i.e. >95% punctuation/
+    # whitespace — would key differently, and such rows have no stable
+    # prefix order anyway)
     key = F.substring(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, prefix_len
+        F.regexp_replace(
+            F.lower(F.substring(F.col(text_col), 1, prefix_len * 20)),
+            "[^a-z0-9]",
+            "",
+        ),
+        1,
+        prefix_len,
     )
     base = (
         df.select(id_col, text_col)
@@ -259,6 +271,9 @@ def sorted_neighborhood_keys(
         .withColumn("_snkey", key)
         .where(F.length("_snkey") > 0)
         .withColumn("_bucket", F.substring("_snkey", 1, bucket_chars))
+        # narrow rows only through the window shuffle: the page text is NOT
+        # part of the output and must not ride the exchange
+        .select(id_col, "_snkey", "_bucket")
     )
     w = Window.partitionBy("_bucket").orderBy("_snkey", id_col)
     ranked = base.withColumn("_rn", F.row_number().over(w))

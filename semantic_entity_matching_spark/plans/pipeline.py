@@ -152,9 +152,21 @@ def score_pairs(
         F.col(config.id_col).alias("_rid"),
         F.col("embedding").alias("_emb"),
     )
+    # The records side is the CORPUS — hint it to a hash-partitioned
+    # shuffle join, never a broadcast: at 10^12 docs a corpus broadcast is
+    # impossible, and even at bench scale Catalyst/AQE mis-estimates of
+    # the checkpointed table turned both joins into driver-serial ~240MB
+    # HashedRelation builds shipped once per executor (measured: the
+    # scored stage ANTI-scaled 30s -> 160s from 1 to 4 executors; the
+    # explicit shuffle join halved it in one JVM and splits the vector
+    # traffic across executors on a cluster).
     if config.quantization in (None, "float"):
-        a = feat.select(F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a"))
-        b = feat.select(F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b"))
+        a = feat.select(
+            F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a")
+        ).hint("shuffle_hash")
+        b = feat.select(
+            F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b")
+        ).hint("shuffle_hash")
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
@@ -183,8 +195,12 @@ def score_pairs(
     q = quantize(feat, "_emb", config.quantization, out_col="_q").select(
         "_rid", "_q"
     )
-    qa = q.select(F.col("_rid").alias("id_a"), F.col("_q").alias("_qa"))
-    qb = q.select(F.col("_rid").alias("id_b"), F.col("_q").alias("_qb"))
+    qa = q.select(
+        F.col("_rid").alias("id_a"), F.col("_q").alias("_qa")
+    ).hint("shuffle_hash")
+    qb = q.select(
+        F.col("_rid").alias("id_b"), F.col("_q").alias("_qb")
+    ).hint("shuffle_hash")
     if config.quantization == "int8":
         approx = int8_cosine_udf(F.col("_qa"), F.col("_qb"))
     else:
@@ -199,8 +215,12 @@ def score_pairs(
         .where(approx >= F.lit(approx_cutoff))
         .select("id_a", "id_b", "block_key")
     )
-    a = feat.select(F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a"))
-    b = feat.select(F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b"))
+    a = feat.select(
+        F.col("_rid").alias("id_a"), F.col("_emb").alias("emb_a")
+    ).hint("shuffle_hash")
+    b = feat.select(
+        F.col("_rid").alias("id_b"), F.col("_emb").alias("emb_b")
+    ).hint("shuffle_hash")
     return (
         kept.join(a, "id_a")
         .join(b, "id_b")

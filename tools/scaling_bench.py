@@ -100,7 +100,12 @@ def stop_cluster(stop_master: bool) -> None:
                        capture_output=True)
 
 
-def worker(execs: int, input_dir: str) -> None:
+def worker(execs: int, input_dir: str, local_cores: int | None = None) -> None:
+    """One timed leg.  ``local_cores`` switches to the sanctioned sandbox
+    proxy (same job at local[N] vs local[4N] — one JVM, in-process
+    exchanges): the standalone-cluster mode measures real serialized
+    executor exchanges, but on a single kernel those all funnel through
+    one loopback + tmpfs, an artifact a real cluster does not share."""
     global EXEC_CORES
     EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", EXEC_CORES))
     os.environ["PYSPARK_PYTHON"] = sys.executable
@@ -121,23 +126,28 @@ def worker(execs: int, input_dir: str) -> None:
         "semantic_entity_matching_spark",
     )
 
-    total_cores = EXEC_CORES * execs
+    total_cores = local_cores if local_cores else EXEC_CORES * execs
     spark = get_session(
-        master=MASTER_URL,
+        master=f"local[{local_cores}]" if local_cores else MASTER_URL,
         shuffle_partitions=total_cores,
         app_name=f"scaling-bench-{execs}x{EXEC_CORES}",
-        extra_conf={
+        extra_conf={} if local_cores else {
             "spark.executor.cores": str(EXEC_CORES),
             "spark.executor.memory": "12g",
             "spark.cores.max": str(total_cores),
-            # the embeddings side of the pair join is a <=240MB dim table
-            # at this SF: broadcast it (map-side join) instead of shuffling
-            # 1024-float payloads per candidate pair
-            "spark.sql.autoBroadcastJoinThreshold": str(512 * 2**20),
+            # do NOT force-broadcast the embeddings table (round-2 legacy:
+            # 512MB threshold).  On a multi-executor cluster a ~240MB
+            # corpus-side broadcast ships one full copy PER executor and
+            # deserializes serially — measured 33s -> 170s anti-scaling on
+            # the scored stage at 60k pages / 4 executors.  The default
+            # threshold keeps the pair join a co-partitioned shuffle join:
+            # each executor moves only its hash share of the vectors,
+            # which is also the only plan that exists at 10^12 docs.
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addPyFile(pyzip)
+    if not local_cores:
+        spark.sparkContext.addPyFile(pyzip)
     pages = spark.read.parquet(input_dir)
     n_rows = pages.count()  # warm scan outside the timed window
 
@@ -235,23 +245,33 @@ def generate(input_dir: str, n_pages: int, words: int) -> int:
     return n
 
 
-def run_level(execs: int, input_dir: str) -> dict:
+def run_level(
+    execs: int, input_dir: str, local_cores: int | None = None, pin: bool = False
+) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--worker",
+        "--execs",
+        str(execs),
+        "--input",
+        input_dir,
+    ]
+    if local_cores:
+        cmd += ["--local-cores", str(local_cores)]
+        if pin:
+            # pin the WHOLE local-mode process tree (JVM threads + python
+            # workers) to exactly its core budget, or the small leg silently
+            # overflows onto all 32 physical cores
+            cmd = ["taskset", "-c", f"0-{local_cores - 1}"] + cmd
     proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--worker",
-            "--execs",
-            str(execs),
-            "--input",
-            input_dir,
-        ],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3600,
         env={
             **os.environ,
-            "SPARK_GRAFT_CPUS": str(EXEC_CORES * execs),
+            "SPARK_GRAFT_CPUS": str(local_cores or EXEC_CORES * execs),
             "SCALING_EXEC_CORES": str(EXEC_CORES),
         },
     )
@@ -274,6 +294,19 @@ def main() -> None:
     ap.add_argument("--words", type=int, default=1200)
     ap.add_argument("--keep-cluster", action="store_true")
     ap.add_argument(
+        "--local",
+        type=int,
+        nargs=2,
+        metavar=("N", "M"),
+        default=None,
+        help="run the sanctioned local-mode proxy instead of the standalone "
+        "cluster: same job at local[N] vs local[M] in one JVM each "
+        "(in-process exchanges — measures the PLAN's parallel scalability "
+        "without the single-host cross-JVM loopback artifact).  Pinned to "
+        "their core budgets via taskset.",
+    )
+    ap.add_argument("--local-cores", type=int, default=None)
+    ap.add_argument(
         "--pin",
         action="store_true",
         help="taskset-pin each leg's worker daemon to exactly its core "
@@ -295,12 +328,52 @@ def main() -> None:
     EXEC_CORES = args.exec_cores
 
     if args.worker:
-        worker(args.execs, args.input)
+        worker(args.execs, args.input, local_cores=args.local_cores)
         return
 
     input_dir = os.path.join(tempfile.gettempdir(), "scaling_bench_pages")
     n = generate(input_dir, args.pages, args.words)
     print(f"generated {n} pages at {input_dir}", file=sys.stderr)
+
+    if args.local:
+        n_cores, m_cores = args.local
+        low = run_level(1, input_dir, local_cores=n_cores, pin=True)
+        high = run_level(1, input_dir, local_cores=m_cores, pin=True)
+        ratio = m_cores / n_cores
+        thr_low = low["rows"] / low["seconds"]
+        thr_high = high["rows"] / high["seconds"]
+        efficiency = (thr_high / thr_low) / ratio
+        stage_eff = {
+            name: round((low["stage_seconds"][name] / t4) / ratio, 3)
+            for name, t4 in high.get("stage_seconds", {}).items()
+            if low.get("stage_seconds", {}).get(name) and t4 > 0
+        }
+        pairs = low["counters"].get("pairs_scored", 0)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_efficiency_local{n_cores}_to_local{m_cores}",
+                    "value": round(efficiency, 3),
+                    "unit": "ratio",
+                    "rows": n,
+                    "pairs_scored": pairs,
+                    "stage_efficiency": stage_eff,
+                    f"stage_seconds_local{n_cores}": low.get("stage_seconds", {}),
+                    f"stage_seconds_local{m_cores}": high.get("stage_seconds", {}),
+                    f"local{n_cores}": {
+                        "seconds": low["seconds"],
+                        "pages_per_sec": round(thr_low, 1),
+                        "pairs_scored_per_sec": round(pairs / low["seconds"], 1),
+                    },
+                    f"local{m_cores}": {
+                        "seconds": high["seconds"],
+                        "pages_per_sec": round(thr_high, 1),
+                        "pairs_scored_per_sec": round(pairs / high["seconds"], 1),
+                    },
+                }
+            )
+        )
+        return
 
     started_master = ensure_master()
     try:
