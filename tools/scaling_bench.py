@@ -194,10 +194,14 @@ def worker(execs: int, input_dir: str, local_cores: int | None = None) -> None:
     try:
         t0 = time.time()
         # dim 1024 (the reference's default): at realistic page lengths a
-        # 256-bucket feature-hash saturates; the rerank cascade prunes little
+        # 256-bucket feature-hash saturates; the rerank cascade prunes
+        # little.  int8 pre-scoring is the PRODUCTION config at 10^12 docs
+        # (4× smaller pair-join payload, exact-float rescore of survivors —
+        # edges/clusters pinned identical to the float path by pytest), so
+        # the scaling legs measure that configuration.
         result = run_pipeline(
             pages,
-            MatchConfig(embedding_dim=1024),
+            MatchConfig(embedding_dim=1024, quantization="int8"),
             checkpoint=CheckpointManager(cp_dir, spark),
             reporter=timer,
         )
@@ -307,6 +311,13 @@ def main() -> None:
     )
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="runs per leg; the median-total run is reported (leg wall "
+        "times vary ±3x run-to-run on this VM)",
+    )
+    ap.add_argument(
         "--pin",
         action="store_true",
         help="taskset-pin each leg's worker daemon to exactly its core "
@@ -335,10 +346,29 @@ def main() -> None:
     n = generate(input_dir, args.pages, args.words)
     print(f"generated {n} pages at {input_dir}", file=sys.stderr)
 
+    def median_leg(runs: list[dict]) -> dict:
+        # keep the run with the median total time (its stage_seconds stay
+        # self-consistent); leg wall times vary ±3x run-to-run on this VM
+        # (khugepaged/THP stalls), so single-leg numbers are meaningless
+        runs = sorted(runs, key=lambda r: r["seconds"])
+        mid = runs[len(runs) // 2]
+        mid["all_seconds"] = [r["seconds"] for r in runs]
+        return mid
+
     if args.local:
         n_cores, m_cores = args.local
-        low = run_level(1, input_dir, local_cores=n_cores, pin=True)
-        high = run_level(1, input_dir, local_cores=m_cores, pin=True)
+        low = median_leg(
+            [
+                run_level(1, input_dir, local_cores=n_cores, pin=True)
+                for _ in range(args.repeats)
+            ]
+        )
+        high = median_leg(
+            [
+                run_level(1, input_dir, local_cores=m_cores, pin=True)
+                for _ in range(args.repeats)
+            ]
+        )
         ratio = m_cores / n_cores
         thr_low = low["rows"] / low["seconds"]
         thr_high = high["rows"] / high["seconds"]
@@ -362,11 +392,13 @@ def main() -> None:
                     f"stage_seconds_local{m_cores}": high.get("stage_seconds", {}),
                     f"local{n_cores}": {
                         "seconds": low["seconds"],
+                        "all_seconds": low.get("all_seconds", [low["seconds"]]),
                         "pages_per_sec": round(thr_low, 1),
                         "pairs_scored_per_sec": round(pairs / low["seconds"], 1),
                     },
                     f"local{m_cores}": {
                         "seconds": high["seconds"],
+                        "all_seconds": high.get("all_seconds", [high["seconds"]]),
                         "pages_per_sec": round(thr_high, 1),
                         "pairs_scored_per_sec": round(pairs / high["seconds"], 1),
                     },
@@ -380,9 +412,9 @@ def main() -> None:
         pin_low = f"0-{EXEC_CORES - 1}" if args.pin else None
         pin_high = f"0-{EXEC_CORES * 4 - 1}" if args.pin else None
         restart_worker(pin_low)
-        low = run_level(1, input_dir)
+        low = median_leg([run_level(1, input_dir) for _ in range(args.repeats)])
         restart_worker(pin_high)
-        high = run_level(4, input_dir)
+        high = median_leg([run_level(4, input_dir) for _ in range(args.repeats)])
     finally:
         if not args.keep_cluster:
             stop_cluster(stop_master=started_master)
@@ -409,11 +441,13 @@ def main() -> None:
                 "stage_seconds_4x8": high.get("stage_seconds", {}),
                 "n_exec_1x8": {
                     "seconds": low["seconds"],
+                    "all_seconds": low.get("all_seconds", [low["seconds"]]),
                     "pages_per_sec": round(thr_low, 1),
                     "pairs_scored_per_sec": round(pairs / low["seconds"], 1),
                 },
                 "n_exec_4x8": {
                     "seconds": high["seconds"],
+                    "all_seconds": high.get("all_seconds", [high["seconds"]]),
                     "pages_per_sec": round(thr_high, 1),
                     "pairs_scored_per_sec": round(pairs / high["seconds"], 1),
                 },
