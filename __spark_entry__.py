@@ -757,6 +757,30 @@ def q35_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (4-hour inactivity
+    gap) via Spark's native ``session_window`` — one hash shuffle on the
+    key, mergeable windows, watermark-compatible under readStream.
+
+    Boundary semantics (pinned by pytest): an event exactly at
+    ``prev_ts + gap`` MERGES into the session, so the oracle's
+    new-session condition is ``diff > gap`` on exact epoch microseconds.
+    NULL ts/user rows are excluded (no position on the time axis)."""
+    from semantic_entity_matching_spark.operators.sessions import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    out = sessionize(events, on="user_id", ts_col="ts", gap_seconds=14400)
+    # epoch-microsecond output (driver-contract convention for timestamps:
+    # exact integers, engine-independent — same as q34's gap_us)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -794,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_asof_join": q33_asof_join,
         "q34_range_join": q34_range_join,
         "q35_csv_scan": q35_csv_scan,
+        "q36_sessionize": q36_sessionize,
     }
 
 
@@ -1529,6 +1554,37 @@ def oracle_sql() -> dict[str, str]:
                round(list_sum(list_transform(v, x -> CAST(x AS DOUBLE))), 6)
                  AS vec_sum
         FROM (SELECT *, TRY_CAST(embedding AS FLOAT[]) AS v FROM raw)
+    """
+
+    # q36 — sessionization: classic gaps-and-islands on exact epoch micros.
+    # Spark's session_window MERGES an event landing exactly at
+    # prev_ts + gap (pytest-pinned), so new-session is strictly diff > gap.
+    sql["q36_sessionize"] = """
+        WITH e AS (
+          SELECT user_id, ts, epoch_us(ts) AS us
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), o AS (
+          SELECT user_id, ts, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 14400000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), s AS (
+          SELECT *,
+                 sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM o
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               min(us) AS start_us,
+               max(us) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s
+        GROUP BY user_id, session_id
     """
 
     return sql

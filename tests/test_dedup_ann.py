@@ -211,6 +211,41 @@ def test_ivf_sampling_plan_has_no_sort(spark):
     assert plan.count() > 0
 
 
+def test_sessionize_boundary_and_nulls(spark):
+    """session_window semantics the q36 oracle depends on: an event exactly
+    at prev_ts + gap MERGES into the session (new-session is strictly
+    diff > gap); NULL key/ts rows are excluded; ordinals are 1-based per
+    key by start time and session_end is the last EVENT (no gap padding)."""
+    import datetime
+
+    from semantic_entity_matching_spark.operators.sessions import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0)),
+        (1, at(100)),      # merges: exactly prev + gap
+        (1, at(200)),      # merges again (chained boundary)
+        (1, at(300.000001)),  # > gap after 200 -> NEW session
+        (2, at(0)),
+        (2, None),         # null ts dropped
+        (None, at(0)),     # null key dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap_seconds=100).collect()
+    }
+    assert got == {
+        (1, 1): (at(0), at(200), 3),
+        (1, 2): (at(300.000001), at(300.000001), 1),
+        (2, 1): (at(0), at(0), 1),
+    }
+
+
 def test_asof_join_semantics(spark):
     """Point-in-time lookup: latest prior build per key; build AT the
     probe's exact ts counts; ties on ts pick the largest id; no prior
