@@ -348,3 +348,59 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {10: 2}  # late u4 dropped; 12:00 window still open
+
+
+def test_streaming_sessionize_with_watermark(spark, tmp_path):
+    """The SAME sessionize grouping works under readStream: session_window +
+    watermark emits a session once the watermark passes its close (start of
+    a gap with no further mergeable events), and keeps open sessions in
+    state.  Proves the batch operator's shape is genuinely
+    streaming-compatible (bounded state), not a batch-only construct."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    cp = str(tmp_path / "scp")
+    schema = "user_id long, ts timestamp"
+
+    b1 = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10, 0)),
+         (1, datetime(2026, 1, 1, 10, 5)),   # merges (gap 10 min)
+         (2, datetime(2026, 1, 1, 10, 0))],
+        schema,
+    )
+    # advances the watermark far past 10:15 -> both 10:00 sessions close
+    b2 = spark.createDataFrame([(3, datetime(2026, 1, 1, 14, 0))], schema)
+
+    def run_batch(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        sessions = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.col("user_id"),
+                F.session_window(F.col("ts"), "10 minutes").alias("_w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("_w.start").alias("session_start"), "n_events")
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(b1)  # sessions still open (watermark at 10:05 - 10m)
+    run_batch(b2)  # watermark jumps -> user 1 and 2 sessions emitted
+
+    got = {
+        (r["user_id"], r["session_start"].hour): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 10): 2, (2, 10): 1}  # user 3's session still open
