@@ -781,6 +781,36 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 25 documents per language, chosen
+    by md5(doc_id) order (engine-portable, partitioning-independent; ties
+    by id).  One hash shuffle on the stratum, per-stratum window, no
+    global sort — the reproducible-downsampling primitive of a
+    training-data pipeline."""
+    from semantic_entity_matching_spark.operators.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, strata_col="lang", n_per_stratum=25, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def q38_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample via the md5 hash-fraction filter —
+    a pure scan-side filter (no shuffle, no sort, stable under corpus
+    growth: ids never move buckets).  The oracle reproduces the exact set
+    with a lexical compare on the first 8 md5 hex chars (8-char lowercase
+    hex compares like its numeric value; 0.1×2^32 − 1 = 0x19999999)."""
+    from semantic_entity_matching_spark.operators.sample import (
+        deterministic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, id_col="doc_id", fraction=0.1).select(
+        "doc_id", "lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -819,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_range_join": q34_range_join,
         "q35_csv_scan": q35_csv_scan,
         "q36_sessionize": q36_sessionize,
+        "q37_stratified_sample": q37_stratified_sample,
+        "q38_hash_sample": q38_hash_sample,
     }
 
 
@@ -1585,6 +1617,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events
         FROM s
         GROUP BY user_id, session_id
+    """
+
+    # q37/q38 — deterministic sampling, md5-keyed so both engines compute
+    # the identical sample set.
+    sql["q37_stratified_sample"] = """
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rk <= 25
+    """
+    # 8-char lowercase hex compares like its numeric value:
+    # v/2^32 < 0.1  <=>  v <= 0x19999999
+    sql["q38_hash_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '19999999'
     """
 
     return sql

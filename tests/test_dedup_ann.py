@@ -314,3 +314,41 @@ def test_range_self_join_boundary_orientations(spark):
     assert (11, 13) not in out
     assert (12, 13) in out  # 1 microsecond apart
     assert all(a != 9 and b != 9 for a, b in out)
+
+
+def test_deterministic_sampling_stability(spark):
+    """md5-keyed sampling is reproducible AND growth-stable: the sample of
+    a corpus prefix is exactly the prefix-restriction of the full-corpus
+    sample (ids never move buckets), and stratified quotas are exact with
+    the identical membership at any partitioning."""
+    from semantic_entity_matching_spark.operators.sample import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    full = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 0.2).select("doc_id").collect()
+    }
+    sub_ids = {r["doc_id"] for r in docs.where(F.col("doc_id") < 250).collect()}
+    sub = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            docs.where(F.col("doc_id") < 250), "doc_id", 0.2
+        ).select("doc_id").collect()
+    }
+    assert sub == full & sub_ids  # growth-stable
+    assert 0 < len(full) < docs.count()
+
+    strat = stratified_sample(docs, "lang", 10, "doc_id")
+    counts = {r["lang"]: r["n"] for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {k: min(10, v) for k, v in avail.items()}
+    # repartitioning must not change membership
+    a = sorted(r["doc_id"] for r in strat.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(17), "lang", 10, "doc_id").collect()
+    )
+    assert a == b
