@@ -811,6 +811,19 @@ def q38_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-token ratio +
+    top-bigram fraction) — the exact-mode-frequency operator a web-corpus
+    cleaning pipeline thresholds on.  Tokenize once, bigrams via zip_with
+    of two array slices, one (id, bigram) hash aggregate."""
+    from semantic_entity_matching_spark.functions.textops import (
+        token_repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_repetition_stats(docs, id_col="doc_id", text_col="text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -851,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_sessionize": q36_sessionize,
         "q37_stratified_sample": q37_stratified_sample,
         "q38_hash_sample": q38_hash_sample,
+        "q39_repetition_stats": q39_repetition_stats,
     }
 
 
@@ -1637,6 +1651,34 @@ def oracle_sql() -> dict[str, str]:
     sql["q38_hash_sample"] = """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '19999999'
+    """
+
+    # q39 — Gopher-style repetition signals, exact bigram mode frequency
+    sql["q39_repetition_stats"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> ''
+                 ) AS t
+          FROM documents WHERE text IS NOT NULL
+        ), n AS (
+          SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd FROM d
+        ), bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+          FROM n, unnest(generate_series(1, n - 1)) AS u(i)
+          WHERE n >= 2
+        ), bgc AS (
+          SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+        ), bga AS (
+          SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               CAST(n.n AS BIGINT) AS n_tokens,
+               round(CASE WHEN n.n > 0 THEN n.nd * 1.0 / n.n END, 6)
+                 AS distinct_token_ratio,
+               round(bga.mx * 1.0 / bga.tot, 6) AS top_bigram_ratio
+        FROM n LEFT JOIN bga USING (doc_id)
     """
 
     return sql

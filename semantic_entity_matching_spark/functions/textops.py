@@ -193,3 +193,70 @@ def fingerprint_hex(col: str | Column) -> Column:
     c = _c(col)
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def token_repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition quality signals per document (Rae et al.'21
+    §A1.1 repetition filters — public technique, used by C4/Dolma-class
+    cleaning pipelines):
+
+    * ``n_tokens``             — whitespace token count
+    * ``distinct_token_ratio`` — |unique tokens| / n_tokens (low = word soup)
+    * ``top_bigram_ratio``     — occurrences of the most frequent word
+      bigram / total bigrams (high = boilerplate / template spam)
+
+    Null-text rows are excluded (no tokens to measure); ratios are NULL
+    when undefined (0 tokens / fewer than 2 tokens).  Fully JVM until the
+    bigram aggregation: tokenize once, bigrams via ``zip_with`` over two
+    array slices, one (id, bigram) hash aggregate — the per-token shuffle
+    rows are the natural cost of exact mode-frequency at scale (a sketch
+    variant would trade exactness; this is the exact operator).
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .withColumn("_nd", F.size(F.array_distinct("_t")))
+    )
+    bigrams = F.when(
+        F.col("_n") >= 2,
+        F.zip_with(
+            F.slice("_t", 1, F.col("_n") - 1),
+            F.slice("_t", 2, F.col("_n") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(
+        id_col, "_n", "_nd", F.explode_outer(bigrams).alias("_bg")
+    )
+    per_bg = ex.groupBy(id_col, "_n", "_nd", "_bg").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = per_bg.groupBy(id_col, "_n", "_nd").agg(
+        F.max(F.when(F.col("_bg").isNotNull(), F.col("_c"))).alias("_mx"),
+        F.sum(F.when(F.col("_bg").isNotNull(), F.col("_c"))).alias("_tot"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.col("_n") > 0, F.col("_nd").cast("double") / F.col("_n")
+            ),
+            6,
+        ).alias("distinct_token_ratio"),
+        F.round(F.col("_mx").cast("double") / F.col("_tot"), 6).alias(
+            "top_bigram_ratio"
+        ),
+    )

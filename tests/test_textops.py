@@ -80,3 +80,32 @@ def test_fingerprint_hex_matches_duckdb(spark):
             "select md5(regexp_replace(lower(trim($$" + t + "$$)), '\\s+', ' ', 'g'))"
         ).fetchone()[0]
         assert h == expected
+
+
+def test_token_repetition_stats(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        token_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),     # bigrams: ab,ba,ab,bc -> top 2/4
+            (2, "x"),             # 1 token: no bigrams -> null ratio
+            (3, ""),              # 0 tokens -> null ratios
+            (4, None),            # excluded
+            (5, "w w w w"),       # bigrams: ww x3 -> 3/3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["distinct_token_ratio"], r["top_bigram_ratio"]
+        )
+        for r in token_repetition_stats(df).collect()
+    }
+    assert got == {
+        1: (5, 0.6, 0.5),
+        2: (1, 1.0, None),
+        3: (0, None, None),
+        5: (4, 0.25, 1.0),
+    }
