@@ -824,6 +824,23 @@ def q39_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_repetition_stats(docs, id_col="doc_id", text_col="text")
 
 
+def q40_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p95/p99) of the event value — the
+    distribution-profiling aggregate a data-quality dashboard runs per
+    slice.  Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same linear-interpolation rule, so the result is engine-exact
+    (verified to the digit); at 10^12 rows swap in ``percentile_approx``
+    (t-digest sketch, mergeable) — same call shape, bounded memory."""
+    events = _t(spark, sf_dir, "events")
+    p = F.percentile("value", [0.5, 0.95, 0.99])
+    return events.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.round(p[0], 6).alias("p50"),
+        F.round(p[1], 6).alias("p95"),
+        F.round(p[2], 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -865,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_stratified_sample": q37_stratified_sample,
         "q38_hash_sample": q38_hash_sample,
         "q39_repetition_stats": q39_repetition_stats,
+        "q40_value_percentiles": q40_value_percentiles,
     }
 
 
@@ -1679,6 +1697,18 @@ def oracle_sql() -> dict[str, str]:
                  AS distinct_token_ratio,
                round(bga.mx * 1.0 / bga.tot, 6) AS top_bigram_ratio
         FROM n LEFT JOIN bga USING (doc_id)
+    """
+
+    # q40 — exact per-group percentiles (same linear interpolation rule in
+    # both engines; count(value) skips NULLs like the quantile does)
+    sql["q40_value_percentiles"] = """
+        SELECT event_type,
+               count(value) AS n_values,
+               round(quantile_cont(value, 0.5), 6)  AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
     """
 
     return sql
