@@ -841,6 +841,23 @@ def q40_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (40-token chunks, 10 overlap —
+    sized so the sf0.01 fixture's 10-99-token docs produce 1-3 chunks and
+    the multi-chunk + short-tail paths are all exercised) — the
+    unit-of-training preparation step.  Pure flatMap shape: tokenize once,
+    posexplode the per-doc chunk array, zero shuffles."""
+    from semantic_entity_matching_spark.functions.textops import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=40, overlap_tokens=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -883,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_hash_sample": q38_hash_sample,
         "q39_repetition_stats": q39_repetition_stats,
         "q40_value_percentiles": q40_value_percentiles,
+        "q41_chunk_documents": q41_chunk_documents,
     }
 
 
@@ -1709,6 +1727,33 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.99), 6) AS p99
         FROM events
         GROUP BY event_type
+    """
+
+    # q41 — sliding-window chunking: chunk i covers tokens
+    # [i*30, i*30+40); n_chunks = ceil(max(n-40,0)/30) + 1
+    sql["q41_chunk_documents"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> ''
+                 ) AS t
+          FROM documents WHERE text IS NOT NULL
+        ), n AS (
+          SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0
+        ), c AS (
+          SELECT doc_id,
+                 i + 1 AS chunk_id,
+                 t[i * 30 + 1 : i * 30 + 40] AS c
+          FROM n, unnest(generate_series(
+                 0, CAST(ceil(greatest(n - 40, 0) / 30.0) AS INT)
+               )) AS u(i)
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(c, ' ') AS chunk_text
+        FROM c
     """
 
     return sql

@@ -260,3 +260,74 @@ def token_repetition_stats(
             "top_bigram_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-sample preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 200,
+    overlap_tokens: int = 50,
+):
+    """Split documents into overlapping token windows — the unit-of-training
+    preparation step of an LLM data pipeline (long pages -> fixed-budget
+    samples with context overlap).
+
+    -> (id, chunk_id 1-based, n_chunk_tokens, chunk_text).  Chunk i covers
+    tokens [i*step, i*step + chunk_tokens) with step = chunk_tokens −
+    overlap_tokens; the last chunk may be shorter; empty/null texts emit no
+    chunks.  Fully JVM: tokenize once, one ``transform(sequence(...))`` +
+    ``explode`` per doc — no shuffle at all (a pure flatMap shape that
+    scales with the scan), deterministic output for any partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .where(F.col("_n") > 0)
+    )
+    # n_chunks = ceil(max(n - chunk, 0) / step) + 1
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.col("_n") - F.lit(chunk_tokens), F.lit(0))
+            / F.lit(step)
+        )
+        + 1
+    ).cast("int")
+    # posexplode gives the chunk ordinal directly (position within the
+    # per-doc chunk array) — no window, no shuffle, deterministic
+    return (
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(
+                        F.col("_t"), i * F.lit(step) + 1, F.lit(chunk_tokens)
+                    ),
+                )
+            ).alias("_pos", "_c"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_pos") + 1).cast("bigint").alias("chunk_id"),
+            F.size("_c").cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(F.col("_c"), " ").alias("chunk_text"),
+        )
+    )

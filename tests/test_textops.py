@@ -109,3 +109,28 @@ def test_token_repetition_stats(spark):
         3: (0, None, None),
         5: (4, 0.25, 1.0),
     }
+
+
+def test_chunk_documents(spark):
+    from semantic_entity_matching_spark.functions.textops import chunk_documents
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text10), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    # chunk 4, overlap 1 -> step 3: doc1 (10 toks) -> ceil(6/3)+1 = 3 chunks
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
+    }
+    assert got == {
+        (1, 1): (4, "t0 t1 t2 t3"),
+        (1, 2): (4, "t3 t4 t5 t6"),
+        (1, 3): (4, "t6 t7 t8 t9"),
+        (2, 1): (3, "a b c"),
+    }
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    assert got[(1, 1)][1].split()[-1] == got[(1, 2)][1].split()[0]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
