@@ -134,10 +134,22 @@ def binary_hamming_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int32").where(mask, other=None)
 
 
-def binary_cosine_expr(hamming: Column, dim: int) -> Column:
+def binary_cosine_expr(hamming: Column, dim: int | Column) -> Column:
     """Sign-bit cosine estimate from hamming distance: for random-ish
     hyperplane sign sketches cos(theta) ≈ cos(pi * h / dim) (Charikar'02,
-    the same estimator as operators/ann.py's LSH)."""
+    the same estimator as operators/ann.py's LSH).  ``dim`` may be a
+    Column (e.g. ``octet_length(packed) * 8``) so the plan stays
+    schema-driven."""
     import math
 
-    return F.cos(F.lit(math.pi) * hamming.cast("double") / F.lit(float(dim)))
+    d = F.lit(float(dim)) if isinstance(dim, int) else dim.cast("double")
+    return F.cos(F.lit(math.pi) * hamming.cast("double") / d)
+
+
+def binary_cosine_from_packed(a: Column, b: Column) -> Column:
+    """Sign-sketch cosine estimate straight from two packed-bit columns —
+    the ONE shared pre-scoring expression (hamming UDF + Charikar
+    estimate, bit width read off the column itself)."""
+    return binary_cosine_expr(
+        binary_hamming_udf(a, b), F.octet_length(a) * F.lit(8)
+    )

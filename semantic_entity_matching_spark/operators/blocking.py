@@ -240,6 +240,7 @@ def sorted_neighborhood_keys(
     prefix_len: int = 12,
     window: int = 10,
     bucket_chars: int = 2,
+    key_scan_chars: int = 1024,
 ) -> DataFrame:
     """(id, block_key) for sorted-neighborhood blocking, scale-safe.
 
@@ -251,14 +252,18 @@ def sorted_neighborhood_keys(
     emitted ('snp:'), which covers cross-bucket/identical-prefix pairs.
     """
     # the key needs only the first prefix_len ALPHANUMERIC chars — run the
-    # regex over a bounded head of the text, not the whole page (measured
-    # 10× on 7.5 KB pages; only a text whose first 20×prefix_len chars
-    # contain fewer than prefix_len alphanumerics — i.e. >95% punctuation/
-    # whitespace — would key differently, and such rows have no stable
-    # prefix order anyway)
+    # regex over a bounded head of the text (``key_scan_chars``), not the
+    # whole page (measured ~7× on 7.5 KB pages at 1024).  A doc whose
+    # first kilobyte contains fewer than 12 [a-z0-9] chars keys shorter or
+    # not at all — that is a non-Latin-script page, for which an SN key
+    # built from Latin fragments buried later in the page was never a
+    # meaningful sort order; such pages remain fully covered by the
+    # MinHash char/word families (script-agnostic byte shingles).  Raise
+    # ``key_scan_chars`` to restore the full-page scan where that trade
+    # is wrong.
     key = F.substring(
         F.regexp_replace(
-            F.lower(F.substring(F.col(text_col), 1, prefix_len * 20)),
+            F.lower(F.substring(F.col(text_col), 1, key_scan_chars)),
             "[^a-z0-9]",
             "",
         ),

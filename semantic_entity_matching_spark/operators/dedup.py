@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantic_entity_matching_spark.functions.similarity import cosine_udf
@@ -74,6 +74,31 @@ def drop_exact_duplicates(
 # MinHash-LSH near-dup
 # ---------------------------------------------------------------------------
 
+def _distinct_tokens(text_col: str) -> Column:
+    """THE tokenization every jaccard path shares (verify arrays, ratio
+    counts, the q21 oracle): distinct lowercased ``\\s+`` tokens, empties
+    removed.  Null text propagates to a NULL array (and NULL ``size`` —
+    Spark 4 ANSI semantics, there is no -1 sentinel)."""
+    return F.array_distinct(
+        F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    )
+
+
+def _size_ratio_keep(ca: Column, cb: Column, threshold: float) -> Column:
+    """Keep-condition of the EXACT size-ratio bound: jaccard >= t requires
+    min(|A|,|B|)/max(|A|,|B|) >= t (|A∩B| <= min, |A∪B| >= max), so a pair
+    failing it can be pruned with zero recall loss.  Both-empty pairs stay
+    (their jaccard is 1.0); NULL counts (null text, jaccard 0) propagate
+    to NULL and the enclosing ``where`` drops the pair — correct for any
+    threshold > 0."""
+    t = F.lit(float(threshold))
+    return ((ca == 0) & (cb == 0)) | (
+        (ca > 0)
+        & (cb > 0)
+        & (F.least(ca, cb).cast("double") / F.greatest(ca, cb).cast("double") >= t)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -83,54 +108,37 @@ def minhash_near_duplicates(
     pairgen: PairGenConfig | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with true token-set
-    Jaccard -> (id_a, id_b, jaccard).
+    Jaccard -> (id_a, id_b, jaccard) (same schema at every threshold).
 
-    The exact size-ratio bound (jaccard >= t requires min(|A|,|B|)/
-    max(|A|,|B|) >= t) is pushed all the way into CANDIDATE GENERATION:
-    per-doc distinct-token counts ride the block self-join as broadcast
-    annotations and provably-below-threshold pairs are pruned BEFORE the
-    pair-dedup shuffle ever carries them (at sf0.1: 5.7M -> 2.9M rows) and
-    before any token array is joined — zero recall loss (see
-    :func:`ngram_jaccard_verify` for the bound)."""
+    The exact size-ratio bound (:func:`_size_ratio_keep`) is pushed all
+    the way into CANDIDATE GENERATION: per-doc distinct-token counts ride
+    the block self-join as annotations and provably-below-threshold pairs
+    are pruned BEFORE the pair-dedup shuffle ever carries them (at sf0.1:
+    5.7M -> 2.9M rows) and before any token array is joined — zero recall
+    loss."""
     lsh = lsh or LSHConfig()
     blocks = minhash_block_keys(df, id_col=id_col, text_col=text_col, config=lsh)
     if jaccard_threshold > 0.0:
-        # EXACTLY the verifier's tokenization (size of the distinct
-        # lowercased \s+-token set; null text -> -1 sentinel)
         counts = df.select(
-            F.col(id_col),
-            F.size(
-                F.array_distinct(
-                    F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-                )
-            ).alias("_ntok"),
-        )
-        t = float(jaccard_threshold)
-        keep = (
-            (F.col("_ntok_a") == 0) & (F.col("_ntok_b") == 0)
-        ) | (
-            (F.col("_ntok_a") > 0)
-            & (F.col("_ntok_b") > 0)
-            & (
-                F.least("_ntok_a", "_ntok_b").cast("double")
-                / F.greatest("_ntok_a", "_ntok_b").cast("double")
-                >= F.lit(t)
-            )
+            F.col(id_col), F.size(_distinct_tokens(text_col)).alias("_ntok")
         )
         pairs = generate_candidate_pairs(
             blocks, id_col=id_col, config=pairgen,
-            annotations=counts, pair_filter=keep, keep_block_key=False,
-        )
-        # pairs are already ratio-pruned; the verifier's own prefilter
-        # would only repeat the same two count joins
-        verified = ngram_jaccard_verify(
-            pairs, df, id_col=id_col, text_col=text_col, n=1
+            annotations=counts,
+            pair_filter=_size_ratio_keep(
+                F.col("_ntok_a"), F.col("_ntok_b"), jaccard_threshold
+            ),
+            keep_block_key=False,
         )
     else:
-        pairs = generate_candidate_pairs(blocks, id_col=id_col, config=pairgen)
-        verified = ngram_jaccard_verify(
-            pairs, df, id_col=id_col, text_col=text_col, n=1
+        pairs = generate_candidate_pairs(
+            blocks, id_col=id_col, config=pairgen, keep_block_key=False
         )
+    # pairs are already ratio-pruned above (or the threshold is 0 and no
+    # pruning is sound), so the verifier runs without its own prefilter
+    verified = ngram_jaccard_verify(
+        pairs, df, id_col=id_col, text_col=text_col, n=1
+    )
     return verified.where(F.col("jaccard") >= jaccard_threshold)
 
 
@@ -195,18 +203,17 @@ def ngram_jaccard_verify(
     their true jaccard as usual.  The pruned pairs are simply absent from
     the output (they could only ever carry jaccard < min_jaccard)."""
     if n <= 1:
-        tok_arr = F.array_distinct(
-            F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
-        )
         toks = records.select(
             F.col(id_col),
-            F.transform(tok_arr, lambda x: F.xxhash64(x)).alias("_tok"),
-        ).withColumn("_ntok", F.size("_tok"))  # null array -> -1 (sentinel)
+            F.transform(
+                _distinct_tokens(text_col), lambda x: F.xxhash64(x)
+            ).alias("_tok"),
+        ).withColumn("_ntok", F.size("_tok"))  # null text -> NULL (ANSI)
 
         if min_jaccard is not None and min_jaccard > 0.0:
             # counts-only prefilter join: (id, _ntok) is a handful of bytes
-            # per doc — prune before any array ships.  _ntok semantics:
-            # -1 = null text (jaccard 0), 0 = empty (jaccard 1 iff both 0).
+            # per doc — prune before any array ships (NULL counts = null
+            # text = jaccard 0, dropped by the keep-condition's NULL)
             counts = toks.select(F.col(id_col), F.col("_ntok"))
             pairs = (
                 pairs.join(
@@ -221,19 +228,7 @@ def ngram_jaccard_verify(
                     ),
                     "id_b",
                 )
-                .where(
-                    # keep iff NOT provably below min_jaccard:
-                    ((F.col("_ca") == 0) & (F.col("_cb") == 0))  # jaccard 1.0
-                    | (
-                        (F.col("_ca") > 0)
-                        & (F.col("_cb") > 0)
-                        & (
-                            F.least("_ca", "_cb").cast("double")
-                            / F.greatest("_ca", "_cb").cast("double")
-                            >= F.lit(float(min_jaccard))
-                        )
-                    )
-                )
+                .where(_size_ratio_keep(F.col("_ca"), F.col("_cb"), min_jaccard))
                 .drop("_ca", "_cb")
             )
 
@@ -432,10 +427,8 @@ def embedding_near_duplicates(
     'binary' carries packed sign bits (32× fewer) and scores with the
     sign-sketch cosine estimate.  Both are approximate — use them as the
     pre-scoring pass at 100 TB and rerank survivors with exact float."""
-    import math
-
     from semantic_entity_matching_spark.functions.quantize import (
-        binary_hamming_udf,
+        binary_cosine_from_packed,
         int8_cosine_udf,
         quantize,
     )
@@ -459,13 +452,9 @@ def embedding_near_duplicates(
     b = base.select(*join_keys, F.col(id_col).alias("id_b"), F.col(vec_col_eff).alias("_vb"))
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
     if quantization in ("binary", "ubinary"):
-        # sign-sketch cosine estimate cos(pi*h/dim); bit width comes from the
-        # column itself (octet_length*8) so the plan stays schema-driven
-        h = binary_hamming_udf(F.col("_va"), F.col("_vb"))
-        cos = F.cos(
-            F.lit(math.pi) * h.cast("double")
-            / (F.octet_length(F.col("_va")).cast("double") * F.lit(8.0))
-        )
+        # sign-sketch cosine estimate (shared expression; bit width comes
+        # from the column itself so the plan stays schema-driven)
+        cos = binary_cosine_from_packed(F.col("_va"), F.col("_vb"))
     elif quantization == "int8":
         cos = int8_cosine_udf(F.col("_va"), F.col("_vb"))
     else:

@@ -57,12 +57,15 @@ def generate_candidate_pairs(
 
     ``annotations`` + ``pair_filter`` push a per-pair predicate BELOW the
     dedup shuffle: ``annotations(id, extra...)`` columns are attached to
-    both join sides (suffixed ``_a``/``_b``; the table is per-doc scalars,
-    broadcast) and ``pair_filter`` — a Column over those suffixed columns —
-    prunes each candidate AT the block join, before the (id_a, id_b)
-    exchange ever carries it.  Used by the near-dup verifier's exact
-    size-ratio bound: at sf0.1 it halves the dedup shuffle (5.7M -> 2.9M
-    rows) with zero recall loss.
+    both join sides (suffixed ``_a``/``_b``) and ``pair_filter`` — a
+    Column over those suffixed columns — prunes each candidate AT the
+    block join, before the (id_a, id_b) exchange ever carries it.  The
+    annotations table is CORPUS-cardinality (one row per doc), so it is
+    joined like any other corpus-side table — hash join on the id, never
+    a forced broadcast (the planner may still broadcast it at small
+    scale).  Used by the near-dup verifier's exact size-ratio bound: at
+    sf0.1 it halves the dedup shuffle (5.7M -> 2.9M rows) with zero
+    recall loss.
 
     ``keep_block_key=False`` skips the min(block_key) representative-key
     aggregate (the dedup becomes a plain distinct, no string rides the
@@ -91,7 +94,7 @@ def generate_candidate_pairs(
     def with_ann(side: DataFrame) -> DataFrame:
         if annotations is None:
             return side
-        return side.join(F.broadcast(annotations), id_col)
+        return side.join(annotations, id_col)
 
     def self_join(side: DataFrame, salted: bool) -> DataFrame:
         side = with_ann(side)

@@ -1,9 +1,11 @@
 """Sessionization — gap-based event grouping (training-pipeline op).
 
 Groups each key's events into sessions: an event belongs to the current
-session iff it starts strictly less than ``gap`` after the previous event
-(Spark's native ``session_window`` semantics — the window extends to
-``last_ts + gap`` and a new event merges while ``ts < prev_end``).
+session iff it starts AT MOST ``gap`` after the previous event — an event
+exactly at ``prev_ts + gap`` still merges; a new session begins only when
+the gap is strictly exceeded (Spark's native ``session_window``
+semantics, pinned by pytest; the q36 oracle's new-session condition is
+therefore strictly ``diff > gap``).
 
 Spark-first: the whole operator is one ``groupBy(key, session_window)``
 aggregate — Catalyst plans it as a single hash shuffle on the key plus a

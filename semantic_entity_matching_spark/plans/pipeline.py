@@ -174,10 +174,8 @@ def score_pairs(
             .select("id_a", "id_b", "block_key", "cosine")
         )
 
-    import math
-
     from semantic_entity_matching_spark.functions.quantize import (
-        binary_hamming_udf,
+        binary_cosine_from_packed,
         int8_cosine_udf,
         quantize,
     )
@@ -204,11 +202,7 @@ def score_pairs(
     if config.quantization == "int8":
         approx = int8_cosine_udf(F.col("_qa"), F.col("_qb"))
     else:
-        h = binary_hamming_udf(F.col("_qa"), F.col("_qb"))
-        approx = F.cos(
-            F.lit(math.pi) * h.cast("double")
-            / (F.octet_length(F.col("_qa")).cast("double") * F.lit(8.0))
-        )
+        approx = binary_cosine_from_packed(F.col("_qa"), F.col("_qb"))
     kept = (
         pairs.join(qa, "id_a")
         .join(qb, "id_b")

@@ -107,14 +107,31 @@ class TableSink:
             self.overwrite(df)
             return self.count()
         if self.table is not None:
-            before = self.count()
+            # probe the snapshots metadata table up front: when present the
+            # rows-written count comes from the MERGE commit's
+            # added-records summary (no table scan); otherwise fall back
+            # to before/after counts
+            try:
+                self.spark.sql(
+                    f"SELECT 1 FROM {self.table}.snapshots LIMIT 1"
+                ).collect()
+                has_snapshots = True
+                before = None
+            except Exception:
+                has_snapshots = False
+                before = self.count()
             view = f"_sink_incoming_{abs(hash(self.table)) % 10**8}"
             # dedup the incoming batch on the key first: MERGE requires at
-            # most one source row per target row, and the reference's bulk
-            # create-op keeps the FIRST occurrence
+            # most one source row per target row.  The survivor is chosen
+            # by ordering on ALL columns — deterministic for any partition
+            # layout (monotonically_increasing_id encodes partition index,
+            # so "first occurrence" under it varies run to run; a
+            # distributed batch has no file order to preserve anyway)
             from pyspark.sql import Window, functions as F
 
-            w = Window.partitionBy(self.key).orderBy(F.monotonically_increasing_id())
+            w = Window.partitionBy(self.key).orderBy(
+                *[F.col(c) for c in df.columns]
+            )
             df.withColumn("_rn", F.row_number().over(w)).where(
                 F.col("_rn") == 1
             ).drop("_rn").createOrReplaceTempView(view)
@@ -127,6 +144,19 @@ class TableSink:
                 """
             )
             self.spark.catalog.dropTempView(view)
+            if has_snapshots:
+                # rows written = the MERGE commit's added-records snapshot
+                # summary — catalog metadata, no table scan (the
+                # reference's bulk response reports created counts the
+                # same way)
+                row = self.spark.sql(
+                    f"""
+                    SELECT summary['added-records'] AS added
+                    FROM {self.table}.snapshots
+                    ORDER BY committed_at DESC LIMIT 1
+                    """
+                ).first()
+                return int(row["added"] or 0)
             return self.count() - before
         fresh = resume_anti_join(df, self.read(), key=self.key)
         n = fresh.count()
