@@ -858,6 +858,19 @@ def q41_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate with grouping_id — multi-granularity totals in ONE
+    pass (per (flag, status), per flag, grand total); Catalyst expands the
+    grouping sets map-side, so it costs one shuffle like a plain groupBy.
+    grouping_id bit order matches ANSI GROUPING(flag, status)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -901,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_repetition_stats": q39_repetition_stats,
         "q40_value_percentiles": q40_value_percentiles,
         "q41_chunk_documents": q41_chunk_documents,
+        "q42_rollup_volume": q42_rollup_volume,
     }
 
 
@@ -1754,6 +1768,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(c) AS BIGINT) AS n_chunk_tokens,
                array_to_string(c, ' ') AS chunk_text
         FROM c
+    """
+
+    # q42 — ROLLUP + GROUPING bitmask (ANSI bit order in both engines)
+    sql["q42_rollup_volume"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
     return sql
