@@ -404,3 +404,63 @@ def test_streaming_sessionize_with_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 10): 2, (2, 10): 1}  # user 3's session still open
+
+
+def test_incremental_match_stream(spark, tmp_path):
+    """Stream-vs-reference incremental linkage: each micro-batch resolves
+    incoming pages against the precomputed reference index and appends
+    idempotently — variants match their entity, novel pages stay
+    unmatched, and a REPLAYED batch inserts nothing twice."""
+    from semantic_entity_matching_spark.plans.pipeline import MatchConfig
+    from semantic_entity_matching_spark.streaming.incremental_match import (
+        ReferenceIndex,
+        incremental_match_stream,
+    )
+
+    schema = "url string, text string, lang string"
+    ref_texts = {
+        "ref/acme": "acme corporation industrial fastener catalog with torque specifications and alloy grades",
+        "ref/globex": "globex chemical supply enterprise sodium reagent inventory and safety datasheets",
+        "ref/initech": "initech software consulting timesheet portal migration and billing platform",
+    }
+    reference = spark.createDataFrame(
+        [(u, t, "en") for u, t in ref_texts.items()], schema
+    )
+    index = ReferenceIndex(reference, MatchConfig(score_round=6))
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "matched")
+    cp = str(tmp_path / "cp")
+
+    b1 = spark.createDataFrame(
+        [
+            ("in/1", ref_texts["ref/acme"].replace("torque", "thread"), "en"),
+            ("in/2", "completely unrelated knitting blog about alpaca wool patterns and dye recipes", "en"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("in/1", ref_texts["ref/acme"].replace("torque", "thread"), "en"),  # replay
+            ("in/3", ref_texts["ref/globex"].replace("sodium", "potassium"), "en"),
+        ],
+        schema,
+    )
+
+    def run_batch(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        q = incremental_match_stream(
+            spark.readStream.schema(schema).parquet(src), index, out, cp
+        )
+        q.awaitTermination(180)
+
+    run_batch(b1)
+    run_batch(b2)  # includes the in/1 replay
+
+    rows = spark.read.parquet(out).collect()
+    got = {r["url"]: r["matched_id"] for r in rows}
+    assert len(rows) == 3  # in/1 appended ONCE despite the replay
+    assert got["in/1"] == "ref/acme"
+    assert got["in/2"] is None
+    assert got["in/3"] == "ref/globex"
+    index.unpersist()
