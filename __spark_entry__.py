@@ -357,6 +357,9 @@ def q19_lexical_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stopword-skew protection: terms in >90% of docs never reach the
         # inverted-index join (oracle applies the same df cut)
         max_df_ratio=0.9,
+        # the same corpus index serves every query of the batch; the bench
+        # opts in explicitly now that the library default is no-persist
+        persist_index=True,
     )
     return out.select("query_id", "candidate_id", "score", "rank")
 

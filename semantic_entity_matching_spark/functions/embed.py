@@ -33,6 +33,16 @@ from pyspark.sql.types import ArrayType, FloatType
 
 DEFAULT_DIM = 1024  # reference lib/setup_opensearch.py:19 (Titan fixed 1024)
 
+# Rows per inner chunk inside embed_batch: bounds the TRANSIENT working set
+# (uint8 digest matrix, tiled intermediate) to chunk_rows × dim bytes-ish
+# regardless of how many rows the engine hands us per Arrow batch.  The
+# (n, dim) float32 OUTPUT still scales with the Arrow batch — that is what
+# spark.sql.execution.arrow.maxRecordsPerBatch bounds (see session.py): at
+# high parallelism the 10k-row default put 8 workers × ~120 MB of embed
+# intermediates into flight at once and the 120k-page scaling leg degraded
+# superlinearly (khugepaged/THP pressure — BASELINE.md round 3).
+EMBED_CHUNK_ROWS = 1024
+
 
 class EmbeddingProvider:
     """Provider interface: ``dim`` + a batch embed over a pandas Series.
@@ -85,14 +95,29 @@ class HashEmbeddingProvider(EmbeddingProvider):
 
     def embed_batch(self, texts: pd.Series) -> np.ndarray:
         n = len(texts)
-        digests = np.zeros((n, 16), dtype=np.uint8)
-        for i, t in enumerate(texts):
-            if t is None or (isinstance(t, float) and np.isnan(t)):
-                continue
-            digests[i] = np.frombuffer(hashlib.md5(str(t).encode()).digest(), dtype=np.uint8)
+        out = np.empty((n, self.dim), dtype=np.float32)
         reps = -(-self.dim // 16)  # ceil
-        tiled = np.tile(digests, (1, reps))[:, : self.dim]
-        return (tiled.astype(np.float32) / 128.0) - 1.0
+        vals = texts.to_numpy(dtype=object, copy=False)
+        # chunked: the old one-shot formulation materialized THREE full
+        # (n, dim) arrays (uint8 tile, float32 astype copy, the result) —
+        # ~3× the output footprint per in-flight batch.  Writing each
+        # chunk straight into the preallocated float32 output keeps the
+        # transient overhead at chunk_rows × dim.
+        for start in range(0, n, EMBED_CHUNK_ROWS):
+            stop = min(start + EMBED_CHUNK_ROWS, n)
+            digests = np.zeros((stop - start, 16), dtype=np.uint8)
+            for i in range(start, stop):
+                t = vals[i]
+                if t is None or (isinstance(t, float) and np.isnan(t)):
+                    continue
+                digests[i - start] = np.frombuffer(
+                    hashlib.md5(str(t).encode()).digest(), dtype=np.uint8
+                )
+            chunk = out[start:stop]
+            chunk[:] = np.tile(digests, (1, reps))[:, : self.dim]
+            chunk /= np.float32(128.0)
+            chunk -= np.float32(1.0)
+        return out
 
 
 class TokenHashEmbeddingProvider(EmbeddingProvider):

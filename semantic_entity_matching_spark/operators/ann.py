@@ -191,6 +191,37 @@ def _ivf_sample_plan(src: DataFrame, n_vecs: int, sample_n: int) -> DataFrame:
     return src.where(F.pmod(F.col("_h"), F.lit(mod)) == 0)
 
 
+def parquet_footer_row_count(df: DataFrame) -> int | None:
+    """Total row count of a parquet-backed DataFrame from the file FOOTERS —
+    driver-side metadata reads, zero Spark jobs (``inputFiles`` is a listing
+    the scan already performed).  Returns None when the plan is not a plain
+    local parquet scan (non-file scheme, non-parquet files, in-memory
+    relation); callers fall back to a counting job.  For a filtered plan the
+    footer count is an UPPER bound on the post-filter rows — fine wherever
+    the count only sizes something (the IVF sampling modulus)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in files:
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme not in ("", "file") or not uri.endswith(".parquet"):
+            return None
+        path = urllib.parse.unquote(parsed.path)
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -215,7 +246,13 @@ def train_ivf_centroids(
     src = corpus.where(F.col(vec_col).isNotNull()).select(
         F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("v")
     )
-    n_vecs = src.count()
+    # size the sampling modulus from parquet FOOTER metadata when the corpus
+    # is a file scan — no counting job; the footer total upper-bounds the
+    # non-null vector count, which only shrinks the survivor set slightly
+    # (still hash-deterministic).  Non-parquet inputs pay one count job.
+    n_vecs = parquet_footer_row_count(corpus)
+    if n_vecs is None:
+        n_vecs = src.count()
     rows = _ivf_sample_plan(src, n_vecs, sample_n).collect()
     rows.sort(key=lambda r: r["_h"])
     rows = rows[:sample_n]

@@ -304,11 +304,51 @@ def all_block_keys(
     text_col: str = "text",
     lsh: LSHConfig | None = None,
     sn_window: int = 10,
+    sn_key_scan_chars: int = 1024,
 ) -> DataFrame:
-    """Union of both schemes (SURVEY §2.7: unionByName + dedup)."""
+    """Union of both schemes (SURVEY §2.7: unionByName + dedup).
+
+    ``sn_key_scan_chars`` bounds the text head the sorted-neighborhood key
+    regex scans (surfaced up to :class:`plans.pipeline.MatchConfig` so the
+    recall trade for markup-/non-Latin-headed pages is a visible knob, not
+    a buried constant; :func:`sn_short_key_audit` measures its effect)."""
     mh = minhash_block_keys(df, id_col, text_col, lsh)
-    sn = sorted_neighborhood_keys(df, id_col, text_col, window=sn_window)
+    sn = sorted_neighborhood_keys(
+        df, id_col, text_col, window=sn_window,
+        key_scan_chars=sn_key_scan_chars,
+    )
     return mh.unionByName(sn).dropDuplicates([id_col, "block_key"])
+
+
+def sn_short_key_audit(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    prefix_len: int = 12,
+    key_scan_chars: int = 1024,
+) -> DataFrame:
+    """Docs whose bounded-head SN key comes out SHORTER than ``prefix_len``
+    (including empty) — the rows whose sorted-neighborhood coverage the
+    ``key_scan_chars`` bound reduces relative to a full-page scan.  One
+    aggregate-free projection + filter; count it to turn the silent recall
+    trade into a run counter (they stay covered by the MinHash families).
+
+    -> (id, sn_key_len)
+    """
+    key = F.substring(
+        F.regexp_replace(
+            F.lower(F.substring(F.col(text_col), 1, key_scan_chars)),
+            "[^a-z0-9]",
+            "",
+        ),
+        1,
+        prefix_len,
+    )
+    return (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), F.length(key).alias("sn_key_len"))
+        .where(F.col("sn_key_len") < prefix_len)
+    )
 
 
 def block_size_audit(blocks: DataFrame, id_col: str = "url") -> DataFrame:

@@ -147,7 +147,7 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def _ascii_tokens(text: str) -> list[str]:
-    """ASCII-\s tokenization — the same whitespace class Java regex and
+    r"""ASCII-\s tokenization — the same whitespace class Java regex and
     DuckDB RE2 use for '\s+', unlike str.split() (Unicode whitespace).
     Keeps the pure-Python oracles byte-consistent with the JVM/SQL paths
     on text containing exotic whitespace (e.g. U+00A0)."""

@@ -27,8 +27,22 @@ DEFAULT_SEARCH_TOP_K = 50  # reference lib/search_and_rerank.py:35
 DEFAULT_EVAL_SIZE = 50  # reference lib/evaluate.py:119
 
 # persisted inverted indexes (see lexical_topk) — a deterministic unpersist
-# handle so long-lived sessions don't accumulate executor storage until LRU
+# handle so long-lived sessions don't accumulate executor storage until LRU.
+# The registry is self-capping: persisting index N+MAX unpersists index N,
+# so a caller that never heard of unpersist_lexical_indexes still holds at
+# most MAX pinned indexes (cleanup does not depend on knowing the helper).
 _PERSISTED_INDEXES: list[DataFrame] = []
+_MAX_PERSISTED_INDEXES = 4
+
+
+def _register_persisted_index(df: DataFrame) -> None:
+    _PERSISTED_INDEXES.append(df)
+    while len(_PERSISTED_INDEXES) > _MAX_PERSISTED_INDEXES:
+        old = _PERSISTED_INDEXES.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
 
 
 def unpersist_lexical_indexes(blocking: bool = False) -> int:
@@ -66,7 +80,7 @@ def lexical_topk(
     corpus_text: str = "text",
     score_round: int | None = None,
     max_df_ratio: float | None = None,
-    persist_index: bool = True,
+    persist_index: bool = False,
 ) -> DataFrame:
     """BM25 lexical retrieval (reference ``match`` query, J2) as an
     inverted-index join: explode terms, Okapi BM25 score (k1=1.2, b=0.75 —
@@ -84,12 +98,14 @@ def lexical_topk(
     one term (empty documents can never match, so excluding them only
     rescales idf/avgdl consistently in both engines).
 
-    ``persist_index=True`` caches the inverted index for the duration of
-    the plan (and any further retrievals this session); Spark evicts it
-    LRU, and every cached index is registered so
-    :func:`unpersist_lexical_indexes` releases them deterministically once
-    the top-k is materialized — a long-lived service should call it (or
-    pass False) between batches.
+    ``persist_index=True`` (opt-in: a library default that pins executor
+    storage surprised callers, so the default is False) caches the
+    inverted index for the duration of the plan and any further retrievals
+    this session.  Every cached index is registered: the registry keeps at
+    most the newest few (older ones are unpersisted automatically), and
+    :func:`unpersist_lexical_indexes` releases all of them deterministically
+    once the top-k is materialized.  Opt in when the same corpus serves
+    repeated retrievals (bench q19 does).
 
     ``max_df_ratio`` drops terms whose document frequency exceeds
     ``ratio * N`` BEFORE the query-term join: stopword-grade terms appear in
@@ -115,7 +131,7 @@ def lexical_topk(
     )
     if persist_index:
         terms = terms.persist()
-        _PERSISTED_INDEXES.append(terms)
+        _register_persisted_index(terms)
     # ONE action computes both corpus stats and materializes the cache —
     # everything downstream reuses the tokenized index
     row = terms.agg(

@@ -54,6 +54,14 @@ class MatchConfig:
     embedding_dim: int = 256
     lsh: LSHConfig = field(default_factory=LSHConfig)
     sn_window: int = 10
+    # how much of the text head the sorted-neighborhood key regex scans.
+    # Docs whose head yields < prefix_len alphanumeric chars get shorter/no
+    # SN keys (they remain covered by the MinHash families); raise to
+    # restore a full-page scan where that trade is wrong.  With
+    # ``audit_sn_keys`` the pipeline counts the affected docs per run
+    # (counter ``sn_short_keyed``) so the trade is observable, not silent.
+    sn_key_scan_chars: int = 1024
+    audit_sn_keys: bool = False
     pairgen: PairGenConfig = field(default_factory=PairGenConfig)
     match_threshold: float = 0.80
     score_weights: dict | None = None
@@ -383,9 +391,24 @@ def run_pipeline(
             text_col=config.text_col,
             lsh=config.lsh,
             sn_window=config.sn_window,
+            sn_key_scan_chars=config.sn_key_scan_chars,
         ),
         "block_keys_emitted",
     )
+    if config.audit_sn_keys:
+        from semantic_entity_matching_spark.operators.blocking import (
+            sn_short_key_audit,
+        )
+
+        n_short = sn_short_key_audit(
+            records,
+            id_col=config.id_col,
+            text_col=config.text_col,
+            key_scan_chars=config.sn_key_scan_chars,
+        ).count()
+        counters["sn_short_keyed"] = n_short
+        if checkpoint is not None:
+            checkpoint.add_counter("sn_short_keyed", n_short)
     pairs = stage(
         "pairs",
         lambda: generate_candidate_pairs(blocks, config.id_col, config.pairgen),

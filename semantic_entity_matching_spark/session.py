@@ -14,9 +14,16 @@ from pyspark.sql import SparkSession
 
 # Arrow batch size is the analog of the reference's request batching
 # (50-row bulk writes, lib/ingest.py:22; 50-query _msearch, lib/evaluate.py:82):
-# it bounds peak memory of every pandas UDF.  10k rows/batch keeps the
-# embedding UDF (dim≤1024 float32) under ~40 MB per batch per core.
-ARROW_MAX_RECORDS_PER_BATCH = 10_000
+# it bounds peak memory of every pandas UDF — each in-flight batch holds the
+# input text buffer (~7.5 KB/page on web text) PLUS the (rows × dim) float32
+# embedding output and its Arrow serialization.  At the old 10k-row default
+# that was ~75 MB text + 40 MB vectors per batch PER WORKER; with 8 workers
+# the 120k-page scaling leg degraded superlinearly under khugepaged/THP
+# pressure (round-3 BASELINE.md).  2k rows/batch caps the per-worker flight
+# at ~15 MB text + 8 MB vectors (dim 1024) while keeping the per-batch UDF
+# dispatch overhead negligible (>=millisecond-scale batches).  Override with
+# SPARK_GRAFT_ARROW_BATCH.
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", 2_048))
 
 
 def default_parallelism() -> int:

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from semantic_entity_matching_spark.sources.readers import resume_anti_join
 
@@ -94,6 +96,30 @@ class TableSink:
             return
         df.write.mode("overwrite").parquet(self.path)
 
+    def _dedup_on_key(self, df: DataFrame) -> DataFrame:
+        """At most one row per key.  MERGE requires it; the Parquet path
+        applies the same rule so both backends keep IDENTICAL semantics for
+        an intra-batch duplicate key.  The survivor is chosen by ordering
+        on ALL columns — deterministic for any partition layout
+        (monotonically_increasing_id encodes partition index, so "first
+        occurrence" under it varies run to run; a distributed batch has no
+        file order to preserve anyway)."""
+        w = Window.partitionBy(self.key).orderBy(*[F.col(c) for c in df.columns])
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _current_snapshot_id(self) -> int | None:
+        row = self.spark.sql(
+            f"""
+            SELECT snapshot_id FROM {self.table}.snapshots
+            ORDER BY committed_at DESC LIMIT 1
+            """
+        ).first()
+        return None if row is None else int(row["snapshot_id"])
+
     def append_idempotent(self, df: DataFrame) -> int:
         """Insert rows whose key is not yet present; returns rows written.
 
@@ -103,6 +129,7 @@ class TableSink:
         scale).  Parquet fallback: anti-join then append — same end state,
         at the cost of read-modify-write.
         """
+        df = self._dedup_on_key(df)
         if not self.exists():
             self.overwrite(df)
             return self.count()
@@ -112,51 +139,48 @@ class TableSink:
             # added-records summary (no table scan); otherwise fall back
             # to before/after counts
             try:
-                self.spark.sql(
-                    f"SELECT 1 FROM {self.table}.snapshots LIMIT 1"
-                ).collect()
+                before_snapshot = self._current_snapshot_id()
                 has_snapshots = True
                 before = None
             except Exception:
                 has_snapshots = False
+                before_snapshot = None
                 before = self.count()
-            view = f"_sink_incoming_{abs(hash(self.table)) % 10**8}"
-            # dedup the incoming batch on the key first: MERGE requires at
-            # most one source row per target row.  The survivor is chosen
-            # by ordering on ALL columns — deterministic for any partition
-            # layout (monotonically_increasing_id encodes partition index,
-            # so "first occurrence" under it varies run to run; a
-            # distributed batch has no file order to preserve anyway)
-            from pyspark.sql import Window, functions as F
-
-            w = Window.partitionBy(self.key).orderBy(
-                *[F.col(c) for c in df.columns]
-            )
-            df.withColumn("_rn", F.row_number().over(w)).where(
-                F.col("_rn") == 1
-            ).drop("_rn").createOrReplaceTempView(view)
-            self.spark.sql(
-                f"""
-                MERGE INTO {self.table} t
-                USING {view} s
-                ON t.{self.key} = s.{self.key}
-                WHEN NOT MATCHED THEN INSERT *
-                """
-            )
-            self.spark.catalog.dropTempView(view)
+            # per-call unique view name: two concurrent append_idempotent
+            # calls against one table in the same session must not clobber
+            # each other's source view
+            view = f"_sink_incoming_{uuid.uuid4().hex}"
+            df.createOrReplaceTempView(view)
+            try:
+                self.spark.sql(
+                    f"""
+                    MERGE INTO {self.table} t
+                    USING {view} s
+                    ON t.{self.key} = s.{self.key}
+                    WHEN NOT MATCHED THEN INSERT *
+                    """
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
             if has_snapshots:
-                # rows written = the MERGE commit's added-records snapshot
-                # summary — catalog metadata, no table scan (the
-                # reference's bulk response reports created counts the
-                # same way)
+                # rows written = THIS MERGE commit's added-records snapshot
+                # summary — catalog metadata, no table scan.  Iceberg
+                # elides no-op commits (a MERGE that changes nothing may
+                # create no snapshot), so an unchanged current-snapshot-id
+                # means 0 rows; otherwise read that SPECIFIC snapshot's
+                # summary (never "latest by committed_at": a concurrent
+                # writer may have committed since).
+                after_snapshot = self._current_snapshot_id()
+                if after_snapshot is None or after_snapshot == before_snapshot:
+                    return 0
                 row = self.spark.sql(
                     f"""
                     SELECT summary['added-records'] AS added
                     FROM {self.table}.snapshots
-                    ORDER BY committed_at DESC LIMIT 1
+                    WHERE snapshot_id = {after_snapshot}
                     """
                 ).first()
-                return int(row["added"] or 0)
+                return int(row["added"] or 0) if row is not None else 0
             return self.count() - before
         fresh = resume_anti_join(df, self.read(), key=self.key)
         n = fresh.count()

@@ -67,6 +67,7 @@ class ReferenceIndex:
             text_col=self.config.text_col,
             lsh=self.config.lsh,
             sn_window=self.config.sn_window,
+            sn_key_scan_chars=self.config.sn_key_scan_chars,
         ).cache()
 
     def unpersist(self) -> None:
@@ -87,6 +88,7 @@ def match_batch(
     inc_blocks = all_block_keys(
         inc, id_col=id_col, text_col=cfg.text_col,
         lsh=cfg.lsh, sn_window=cfg.sn_window,
+        sn_key_scan_chars=cfg.sn_key_scan_chars,
     )
     pairs = (
         inc_blocks.select(F.col(id_col).alias("_in"), "block_key")
