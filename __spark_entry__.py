@@ -874,6 +874,126 @@ def q42_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic synthetic ``url`` column (the driver
+    tables carry no URL; both engines derive the identical one from doc_id
+    alone — works on every fixture incl. the null one, which drops the
+    ``source`` column — so the host operators have a url-shaped input to
+    parse: www-prefix, mixed TLDs incl. a two-part suffix, an explicit
+    port on every 7th doc — exactly the variety ``parse_url`` must strip)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.concat(F.lit("site"), (F.col("doc_id") % 10).cast("string")),
+        F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("co.uk")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+def q43_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host operators: parse_url host extraction (port stripped,
+    www kept as a distinct host), registered-domain heuristic (two-part
+    suffix aware: src*.co.uk stays three labels), per-domain corpus
+    aggregate — the first grouping key of a Common-Crawl pipeline."""
+    from semantic_entity_matching_spark.functions.urlops import host_stats
+
+    pages = _docs_with_urls(spark, sf_dir)
+    return host_stats(pages, url_col="url", text_col="text", by="domain")
+
+
+def q44_host_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain page cap: at most 7 pages per registered domain chosen by
+    the deterministic md5(id) order (the crawl pipeline's anti-megahost
+    quota), with the q37/q38 stability guarantees."""
+    from semantic_entity_matching_spark.functions.urlops import (
+        host_stratified_sample,
+        registered_domain,
+        url_host,
+    )
+
+    pages = _docs_with_urls(spark, sf_dir)
+    sampled = host_stratified_sample(
+        pages, url_col="url", n_per_domain=7, id_col="doc_id"
+    )
+    return sampled.select(
+        "doc_id", registered_domain(url_host("url")).alias("domain")
+    )
+
+
+def q45_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing a token 3-gram with the
+    eval split (doc_id % 50 == 0) are flagged.  Broadcast eval n-gram set,
+    map-only corpus explode, one per-doc aggregate.  n=3 on this corpus
+    yields a rich contract (~half the docs overlap somewhere); the
+    operator default n=8 is the production GPT-3-style span."""
+    from semantic_entity_matching_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    rep = decontaminate(corpus, eval_df, n=3)
+    return rep.select(
+        "doc_id",
+        "n_ngrams",
+        "n_overlap",
+        F.round("overlap_ratio", 6).alias("overlap_ratio"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q46_repetition_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition rule family: top 2/3/4-gram fractions +
+    duplicate-line fraction (lines synthesized deterministically by
+    breaking on common words — the driver corpus is single-line).  One
+    tagged explode carries all three n-gram families through ONE shuffle."""
+    from semantic_entity_matching_spark.functions.textops import (
+        extended_repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.regexp_replace(F.col("text"), " (value|table|query) ", "\n"),
+    )
+    return extended_repetition_stats(docs, id_col="doc_id", text_col="text2")
+
+
+def q47_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental (stream-side) matcher under the SAME oracle
+    discipline as the flagship: one ``match_batch`` of the incoming split
+    (doc_id % 10 == 0) against the reference index built from the rest —
+    best reference match per incoming doc at the q23 scoring contract
+    (token-hash embedding, cosine→lev→JW cascade, threshold 0.8, round-6
+    scores, tiebreak smallest reference id), null when nothing reaches the
+    threshold.  The DuckDB oracle recomputes it quadratically; blocking
+    recall at the threshold is 1 on this corpus (q23's verified property —
+    the cross-split pairs are a subset of q23's edge set)."""
+    from semantic_entity_matching_spark.plans.pipeline import MatchConfig
+    from semantic_entity_matching_spark.streaming.incremental_match import (
+        ReferenceIndex,
+        match_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = MatchConfig(
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+        score_round=6,
+    )
+    index = ReferenceIndex(docs.where(F.col("doc_id") % 10 != 0), cfg)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    return match_batch(incoming, index).select("doc_id", "matched_id", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -918,6 +1038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_value_percentiles": q40_value_percentiles,
         "q41_chunk_documents": q41_chunk_documents,
         "q42_rollup_volume": q42_rollup_volume,
+        "q43_host_stats": q43_host_stats,
+        "q44_host_sample": q44_host_sample,
+        "q45_decontaminate": q45_decontaminate,
+        "q46_repetition_extended": q46_repetition_extended,
+        "q47_incremental_match": q47_incremental_match,
     }
 
 
@@ -1781,6 +1906,246 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_quantity), 4) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    # ------------------------------------------------------------------
+    # q43/q44 — URL/host operators over the deterministic synthetic url
+    # (same construction as _docs_with_urls); host = authority regexp
+    # (== parse_url HOST: port stripped, userinfo skipped, lowercased),
+    # registered domain = last-2-labels with the two-part-suffix override.
+    # ------------------------------------------------------------------
+    _suffix_in = ", ".join(
+        f"'{s}'"
+        for s in (
+            "co.uk", "org.uk", "ac.uk", "gov.uk",
+            "com.au", "net.au", "org.au",
+            "co.jp", "ne.jp", "or.jp",
+            "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+            "com.ar", "com.tr", "com.tw", "co.nz",
+        )
+    )
+    _url_cte = f"""
+        pages AS (
+          SELECT doc_id, text,
+                 'https://'
+                 || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+                 || 'site' || (doc_id % 10) || '.'
+                 || CASE doc_id % 3 WHEN 0 THEN 'com'
+                                    WHEN 1 THEN 'org'
+                                    ELSE 'co.uk' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+                 || '/p/' || doc_id AS url
+          FROM documents
+        ), hosted AS (
+          SELECT doc_id, text,
+                 lower(regexp_extract(url, '://(?:[^@/]*@)?([^:/?#]*)', 1))
+                   AS host
+          FROM pages
+        ), dom AS (
+          SELECT doc_id, text, host,
+                 CASE WHEN host IS NULL OR len(p) <= 1 THEN host
+                      WHEN len(p) >= 3
+                           AND (p[-2] || '.' || p[-1]) IN ({_suffix_in})
+                        THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                      ELSE p[-2] || '.' || p[-1] END AS domain
+          FROM (SELECT *, string_split(host, '.') AS p FROM hosted)
+        )
+    """
+
+    sql["q43_host_stats"] = f"""
+        WITH {_url_cte}
+        SELECT domain,
+               count(*) AS n_docs,
+               count(DISTINCT host) AS n_hosts,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\\s+')) END)
+                    AS BIGINT) AS total_tokens
+        FROM dom GROUP BY domain
+    """
+
+    sql["q44_host_sample"] = f"""
+        WITH {_url_cte}, ranked AS (
+          SELECT doc_id, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM dom
+        )
+        SELECT doc_id, domain FROM ranked WHERE rk <= 7
+    """
+
+    # q45 — decontamination: distinct token 3-grams per doc; a doc is
+    # contaminated when any of them appears anywhere in the eval split
+    # (doc_id % 50 = 0).  Null/short texts carry zero n-grams.
+    sql["q45_decontaminate"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                      ELSE list_filter(
+                          regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          x -> x <> '') END AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct(list_transform(
+                          range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE CAST([] AS VARCHAR[]) END AS g
+          FROM toks
+        ), ev AS (
+          SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+        ), corpus AS (
+          SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+        ), ov AS (
+          SELECT c.doc_id, count(*) AS n_overlap
+          FROM (SELECT doc_id, unnest(g) AS gram FROM corpus) c
+          JOIN ev USING (gram)
+          GROUP BY c.doc_id
+        )
+        SELECT c.doc_id,
+               CAST(len(c.g) AS BIGINT) AS n_ngrams,
+               CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+               CASE WHEN len(c.g) > 0
+                    THEN round(coalesce(o.n_overlap, 0)::DOUBLE / len(c.g), 6)
+               END AS overlap_ratio,
+               CASE WHEN len(c.g) > 0 AND coalesce(o.n_overlap, 0) > 0
+                    THEN 1 ELSE 0 END AS contaminated
+        FROM corpus c LEFT JOIN ov o USING (doc_id)
+    """
+
+    # q46 — full Gopher repetition family over line-synthesized text2
+    # (regexp_replace is 'g' in DuckDB to match Spark's replace-all).
+    _rep_gram = """
+        , g{n} AS (
+          SELECT doc_id, array_to_string(t[i:i+{top}], ' ') AS gram
+          FROM base, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+          WHERE len(t) >= {n}
+        ), c{n} AS (
+          SELECT doc_id, count(*) AS c FROM g{n} GROUP BY doc_id, gram
+        ), a{n} AS (
+          SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c{n} GROUP BY doc_id
+        )
+    """
+    sql["q46_repetition_extended"] = (
+        """
+        WITH t2 AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' (value|table|query) ', chr(10), 'g')
+                   AS text2
+          FROM documents WHERE text IS NOT NULL
+        ), base AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text2)), '\\s+'),
+                   x -> x <> '') AS t,
+                 list_filter(
+                   list_transform(string_split(text2, chr(10)),
+                                  s -> trim(s)),
+                   s -> s <> '') AS l
+          FROM t2
+        )
+        """
+        + "".join(
+            _rep_gram.format(n=n, top=n - 1) for n in (2, 3, 4)
+        )
+        + """
+        SELECT b.doc_id,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               round(CASE WHEN len(b.t) > 0
+                          THEN len(list_distinct(b.t))::DOUBLE / len(b.t)
+                     END, 6) AS distinct_token_ratio,
+               round(a2.mx::DOUBLE / a2.tot, 6) AS top_2gram_ratio,
+               round(a3.mx::DOUBLE / a3.tot, 6) AS top_3gram_ratio,
+               round(a4.mx::DOUBLE / a4.tot, 6) AS top_4gram_ratio,
+               round(CASE WHEN len(b.l) > 0
+                          THEN (len(b.l) - len(list_distinct(b.l)))::DOUBLE
+                               / len(b.l)
+                     END, 6) AS dup_line_fraction
+        FROM base b
+        LEFT JOIN a2 USING (doc_id)
+        LEFT JOIN a3 USING (doc_id)
+        LEFT JOIN a4 USING (doc_id)
+    """
+    )
+
+    # q47 — incremental matcher contract: quadratic re-derivation of
+    # "best reference match per incoming doc" at the exact q23 scoring
+    # contract (same token-hash embedding CTEs, same blend/threshold,
+    # round-6 scores, tiebreak smallest reference id).
+    sql["q47_incremental_match"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), feats AS (
+            SELECT doc_id, tok AS f FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(tok) - 1),
+                                         i -> substr(tok, i, 3))) AS f
+            FROM toks WHERE length(tok) > 3
+        ), hashed AS (
+            SELECT doc_id, ({_h32})::BIGINT AS h FROM feats
+        ), entries AS (
+            SELECT doc_id, h % 256 AS bucket,
+                   sum(CASE WHEN h >= 2147483648 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+            FROM hashed GROUP BY doc_id, h % 256
+        ), nrm AS (
+            SELECT doc_id, sqrt(sum(val * val)) AS n FROM entries GROUP BY doc_id
+        ), vec AS (
+            SELECT e.doc_id, e.bucket, CAST(e.val / nrm.n AS FLOAT) AS v
+            FROM entries e JOIN nrm USING (doc_id) WHERE e.val <> 0
+        ), n2 AS (
+            SELECT doc_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS n
+            FROM vec GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS id_in, b.doc_id AS id_ref,
+                   sum(a.v::DOUBLE * b.v::DOUBLE) AS dot
+            FROM vec a JOIN vec b
+              ON a.bucket = b.bucket
+             AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+            GROUP BY a.doc_id, b.doc_id
+        ), cos AS (
+            SELECT id_in, id_ref, dot / (na.n * nb.n) AS cosine
+            FROM dots
+            JOIN n2 na ON na.doc_id = id_in
+            JOIN n2 nb ON nb.doc_id = id_ref
+            WHERE dot / (na.n * nb.n) >= 0.6
+        ), rr AS (
+            SELECT c.id_in, c.id_ref,
+                   round(0.5 * c.cosine
+                   + 0.3 * jaro_winkler_similarity(substr(a.text, 1, 100),
+                                                   substr(b.text, 1, 100))
+                   + 0.2 * (CASE WHEN greatest(length(substr(a.text, 1, 100)),
+                                               length(substr(b.text, 1, 100))) = 0
+                                 THEN 1.0
+                                 ELSE 1.0 - levenshtein(substr(a.text, 1, 100),
+                                                        substr(b.text, 1, 100))::DOUBLE
+                                      / greatest(length(substr(a.text, 1, 100)),
+                                                 length(substr(b.text, 1, 100)))
+                            END), 6) AS score
+            FROM cos c
+            JOIN documents a ON a.doc_id = c.id_in
+            JOIN documents b ON b.doc_id = c.id_ref
+        ), best AS (
+            SELECT id_in, id_ref, score,
+                   row_number() OVER (
+                     PARTITION BY id_in
+                     ORDER BY score DESC, id_ref ASC) AS rk
+            FROM rr WHERE score >= 0.8
+        )
+        SELECT d.doc_id,
+               b.id_ref AS matched_id,
+               b.score
+        FROM documents d
+        LEFT JOIN best b ON b.id_in = d.doc_id AND b.rk = 1
+        WHERE d.doc_id % 10 = 0
     """
 
     return sql

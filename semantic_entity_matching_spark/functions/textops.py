@@ -262,6 +262,103 @@ def token_repetition_stats(
     )
 
 
+def extended_repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+):
+    """The full Gopher repetition rule family (Rae et al.'21 §A1.1 — the
+    C4/Dolma-class cleaning rule set), extending
+    :func:`token_repetition_stats` with the higher-order signals:
+
+    * ``n_tokens``, ``distinct_token_ratio`` — as before
+    * ``top_{n}gram_ratio`` for each n in ``ngram_ns`` — occurrences of the
+      most frequent token n-gram / total n-grams (boilerplate/template spam)
+    * ``dup_line_fraction`` — fraction of non-blank lines that are
+      duplicates of an earlier line: (n_lines − n_distinct_lines) / n_lines
+      (navigation chrome / repeated footers); NULL when the doc has no
+      non-blank lines.
+
+    Ratios are NULL when undefined (fewer than n tokens).  Plan shape:
+    tokenize + line-split ONCE per doc (pure map), every n-gram family
+    rides ONE tagged explode → one (id, n, gram) hash aggregate → one
+    per-doc conditional aggregate — a single shuffle pays for all the
+    mode-frequency signals; the line stats never shuffle at all (per-row
+    array exprs).
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
+    # non-blank trimmed lines; duplicate detection is on exact line content
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_t"), lines.alias("_l"))
+        .withColumn("_n", F.size("_t"))
+        .withColumn("_nd", F.size(F.array_distinct("_t")))
+        .withColumn("_nl", F.size("_l"))
+        .withColumn("_nld", F.size(F.array_distinct("_l")))
+        .drop("_l")
+    )
+
+    def grams_of(n: int):
+        return F.when(
+            F.col("_n") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("g_n"),
+                    F.array_join(F.slice("_t", i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<g_n:int,gram:string>>")
+        )
+
+    tagged = F.concat(*[grams_of(n) for n in ngram_ns])
+    keys = [id_col, "_n", "_nd", "_nl", "_nld"]
+    ex = base.select(*keys, F.explode_outer(tagged).alias("_g"))
+    per_gram = ex.groupBy(
+        *keys, F.col("_g.g_n").alias("_gn"), F.col("_g.gram").alias("_gram")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    aggs = []
+    for n in ngram_ns:
+        hit = F.col("_gn") == n
+        aggs.append(F.max(F.when(hit, F.col("_c"))).alias(f"_mx{n}"))
+        aggs.append(F.sum(F.when(hit, F.col("_c"))).alias(f"_tot{n}"))
+    agg = per_gram.groupBy(*keys).agg(*aggs)
+    out_cols = [
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(F.col("_n") > 0, F.col("_nd").cast("double") / F.col("_n")),
+            6,
+        ).alias("distinct_token_ratio"),
+    ]
+    for n in ngram_ns:
+        out_cols.append(
+            F.round(
+                F.col(f"_mx{n}").cast("double") / F.col(f"_tot{n}"), 6
+            ).alias(f"top_{n}gram_ratio")
+        )
+    out_cols.append(
+        F.round(
+            F.when(
+                F.col("_nl") > 0,
+                (F.col("_nl") - F.col("_nld")).cast("double") / F.col("_nl"),
+            ),
+            6,
+        ).alias("dup_line_fraction")
+    )
+    return agg.select(*out_cols)
+
+
 # ---------------------------------------------------------------------------
 # document chunking (training-sample preparation)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,138 @@
+"""URL / host-level operators — the first grouping key of a web-crawl corpus.
+
+The input table of the north_star is keyed by ``url`` (Common-Crawl-style
+pages); per-host and per-registered-domain statistics, quotas and sampling
+are the standard first moves of an LLM web-data pipeline (domain caps,
+per-site quality aggregates, host-bucketed dedup).  All host extraction is
+pure Column expressions (``parse_url`` is a JVM built-in, whole-stage
+codegen); aggregates are one hash shuffle on the domain key.
+
+Reference analog: the reference keys documents by their natural id and
+groups work per source (SURVEY §1.3 doc-identity by natural key); the
+host/domain here is that natural grouping for web pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.textops import token_count
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased hostname of a URL (port stripped), NULL for unparseable
+    input.  ``try_parse_url(..., 'HOST')`` — JVM-side, no Python
+    (``parse_url`` THROWS on malformed input under ANSI mode; a crawl
+    corpus always contains garbage URLs, so the null-tolerant form is the
+    only one that survives a real scan)."""
+    return F.lower(F.try_parse_url(_c(col), F.lit("HOST")))
+
+
+def url_path(col: str | Column) -> Column:
+    """Path component of a URL (no query/fragment); NULL on garbage."""
+    return F.try_parse_url(_c(col), F.lit("PATH"))
+
+
+# Multi-label public suffixes for the registered-domain heuristic: the
+# common ccTLD second-level registries.  A full Public Suffix List lookup
+# is a broadcast-join against the published PSL table at scale; this
+# deterministic subset keeps the operator dependency-free and
+# oracle-portable (the heuristic is explicitly a subset, not the PSL).
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "com.ar", "com.tr", "com.tw", "co.nz",
+)
+
+
+def registered_domain(host_col: str | Column) -> Column:
+    """Registrable domain of a hostname: last two labels, or last three
+    when the final two form a known second-level registry suffix
+    (``example.co.uk`` -> ``example.co.uk``, ``www.example.org`` ->
+    ``example.org``).  Hosts with a single label (or NULL) pass through."""
+    host = _c(host_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(host.isNull() | (n <= 1), host)
+        .when((n >= 3) & last2.isin(*MULTI_PART_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def with_host_columns(
+    df: DataFrame, url_col: str = "url",
+    host_col: str = "host", domain_col: str = "domain",
+) -> DataFrame:
+    """Append ``host`` + registered ``domain`` columns — pure projection."""
+    host = url_host(url_col)
+    return df.withColumn(host_col, host).withColumn(
+        domain_col, registered_domain(host)
+    )
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = "text",
+    by: str = "domain",
+) -> DataFrame:
+    """Per-domain (default) or per-host corpus statistics:
+
+    -> (key, n_docs, n_hosts, total_chars, total_tokens)
+
+    One hash aggregate keyed on the domain/host — partial aggregation
+    map-side, so the shuffle carries one row per (partition, key).  At
+    crawl scale domain keys are Zipf-skewed; the aggregate state is a few
+    counters per key (no lists), so skew costs only the hot key's single
+    reducer and AQE splits it when it matters.
+    """
+    if by not in ("domain", "host"):
+        raise ValueError(f"by must be 'domain' or 'host', got {by!r}")
+    host = url_host(url_col)
+    keyed = df.withColumn("_host", host).withColumn(
+        "_key", registered_domain(F.col("_host")) if by == "domain" else F.col("_host")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_host").alias("n_hosts"),
+    ]
+    if text_col is not None:
+        aggs += [
+            F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+            .cast("bigint").alias("total_chars"),
+            F.sum(token_count(text_col)).cast("bigint").alias("total_tokens"),
+        ]
+    return keyed.groupBy(F.col("_key").alias(by)).agg(*aggs)
+
+
+def host_stratified_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    n_per_domain: int = 100,
+    id_col: str = "url",
+) -> DataFrame:
+    """At most ``n_per_domain`` pages per registered domain, chosen by the
+    deterministic md5(id) order — the standard per-site cap of crawl
+    pipelines (keeps mega-hosts from dominating the training mix), with
+    :func:`operators.sample.stratified_sample`'s stability guarantees
+    (growing a domain never reshuffles its already-sampled rows)."""
+    from semantic_entity_matching_spark.operators.sample import stratified_sample
+
+    with_domain = df.withColumn("_domain", registered_domain(url_host(url_col)))
+    return stratified_sample(
+        with_domain, strata_col="_domain", n_per_stratum=n_per_domain,
+        id_col=id_col,
+    ).drop("_domain")

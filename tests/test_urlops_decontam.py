@@ -1,0 +1,167 @@
+"""Round-4 operators: URL/host stats, host-quota sampling, benchmark
+decontamination, extended Gopher repetition rules, and the incremental
+matcher's stream==batch equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.functions.urlops import (
+    host_stats,
+    host_stratified_sample,
+    registered_domain,
+    url_host,
+)
+from semantic_entity_matching_spark.operators.decontaminate import decontaminate
+from semantic_entity_matching_spark.functions.textops import (
+    extended_repetition_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_url_host_and_registered_domain(spark):
+    rows = [
+        ("https://www.example.com/a/b?q=1", "www.example.com", "example.com"),
+        ("https://Example.ORG:8443/x", "example.org", "example.org"),
+        ("https://user:pw@deep.sub.example.co.uk/p", "deep.sub.example.co.uk",
+         "example.co.uk"),
+        ("http://localhost/x", "localhost", "localhost"),
+        ("not a url at all", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = (
+        df.withColumn("host", url_host("url"))
+        .withColumn("domain", registered_domain(F.col("host")))
+        .collect()
+    )
+    for (u, host, dom), r in zip(rows, got):
+        assert r["host"] == host, u
+        assert r["domain"] == dom, u
+
+
+def test_host_stats_per_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/1", "one two"),
+            ("https://b.example.com/2", "three"),
+            ("https://example.org/3", None),
+        ],
+        "url string, text string",
+    )
+    got = {r["domain"]: r for r in host_stats(df).collect()}
+    assert got["example.com"]["n_docs"] == 2
+    assert got["example.com"]["n_hosts"] == 2
+    assert got["example.com"]["total_tokens"] == 3
+    assert got["example.org"]["n_docs"] == 1
+    assert got["example.org"]["total_chars"] == 0
+
+
+def test_host_stratified_sample_cap_and_determinism(spark):
+    rows = [
+        (f"https://{'big' if i % 4 else 'small'}.example.com/p/{i}",)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    s1 = host_stratified_sample(df, n_per_domain=5, id_col="url")
+    s2 = host_stratified_sample(df.repartition(7), n_per_domain=5, id_col="url")
+    u1 = sorted(r["url"] for r in s1.collect())
+    u2 = sorted(r["url"] for r in s2.collect())
+    assert u1 == u2  # partitioning-independent
+    assert len(u1) == 5  # one domain, capped
+
+
+def test_decontaminate_planted_overlap(spark):
+    contaminated_span = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words {contaminated_span} suffix words here"),
+            (2, "a completely different document with no shared spans at all ok"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"benchmark question mentions {contaminated_span} verbatim")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, eval_df, n=8).collect()}
+    assert got[1]["contaminated"] is True and got[1]["n_overlap"] >= 1
+    assert got[2]["contaminated"] is False and got[2]["n_overlap"] == 0
+    assert got[3]["n_ngrams"] == 0 and got[3]["contaminated"] is False
+    assert got[3]["overlap_ratio"] is None
+
+
+def test_extended_repetition_stats_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a"),          # every 2/3/4-gram identical
+            (2, "x\ny\nx\n\n  "),      # 3 non-blank lines, one duplicate
+            (3, "one two"),            # too short for 3/4-grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in extended_repetition_stats(df).collect()}
+    assert got[1]["top_2gram_ratio"] == 1.0
+    assert got[1]["top_3gram_ratio"] == 1.0
+    assert got[1]["top_4gram_ratio"] == 1.0
+    assert got[1]["distinct_token_ratio"] == pytest.approx(0.2)
+    assert got[2]["dup_line_fraction"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["top_2gram_ratio"] == 1.0
+    assert got[3]["top_3gram_ratio"] is None
+    assert got[3]["top_4gram_ratio"] is None
+    assert got[1]["dup_line_fraction"] == 0.0
+
+
+def test_incremental_stream_equals_batch(spark, tmp_path):
+    """The production read path under the oracle discipline: streaming the
+    incoming split through incremental_match_stream (two micro-batches +
+    one replayed batch) accumulates EXACTLY the rows of one batch
+    match_batch call over the same input."""
+    from semantic_entity_matching_spark.plans.pipeline import MatchConfig
+    from semantic_entity_matching_spark.streaming.incremental_match import (
+        ReferenceIndex,
+        incremental_match_stream,
+        match_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = MatchConfig(
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+        score_round=6,
+    )
+    index = ReferenceIndex(docs.where(F.col("doc_id") % 10 != 0), cfg)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+
+    expected = {
+        (r["doc_id"], r["matched_id"], r["score"])
+        for r in match_batch(incoming, index).collect()
+    }
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "matched")
+    cp = str(tmp_path / "cp")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in incoming.schema.fields)
+
+    def run_batch(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        q = incremental_match_stream(
+            spark.readStream.schema(schema).parquet(src), index, out, cp
+        )
+        q.awaitTermination(300)
+
+    half = incoming.where(F.col("doc_id") % 20 == 0)
+    rest = incoming.where(F.col("doc_id") % 20 != 0)
+    run_batch(half)
+    run_batch(rest)
+    run_batch(half.limit(5))  # replay: must insert nothing
+
+    got = {
+        (r["doc_id"], r["matched_id"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+    assert len(got) == incoming.count()
+    index.unpersist()
