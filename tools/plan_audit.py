@@ -172,6 +172,42 @@ def main() -> None:
             else "corpus-side BroadcastHashJoin present",
         )
 
+    # 7. decontamination joins the (small) eval n-gram set by BROADCAST —
+    # the corpus side must never shuffle for the overlap join (the only
+    # shuffle in the plan is the per-doc count aggregate)
+    from semantic_entity_matching_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    corpus_df = docs.where(F.col("doc_id") % 50 != 0)
+    e_dc = explained_of(decontaminate(corpus_df, eval_df, n=3))
+    check(
+        "decontaminate_broadcasts_eval",
+        "BroadcastHashJoin" in e_dc and "SortMergeJoin" not in e_dc,
+        "eval side broadcast, no sort-merge join"
+        if "BroadcastHashJoin" in e_dc
+        else "eval-side broadcast missing",
+    )
+
+    # 8. host stats stay fully JVM (no Python eval node) with map-side
+    # partial aggregation before the domain shuffle
+    from semantic_entity_matching_spark.functions.urlops import host_stats
+
+    pages = E._docs_with_urls(spark, SF)
+    e_hs = explained_of(host_stats(pages, url_col="url", text_col="text"))
+    no_python = (
+        "BatchEvalPython" not in e_hs and "ArrowEvalPython" not in e_hs
+    )
+    partial = "partial_" in e_hs or e_hs.count("HashAggregate") >= 2
+    check(
+        "host_stats_jvm_partial_agg",
+        no_python and partial,
+        "pure JVM exprs + partial aggregation"
+        if no_python and partial
+        else f"python_node={not no_python} partial_agg={partial}",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
