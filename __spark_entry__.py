@@ -994,6 +994,22 @@ def q47_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_batch(incoming, index).select("doc_id", "matched_id", "score")
 
 
+def q48_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality DECISION: per-rule 0/1 flags + overall verdict
+    over the same line-synthesized text as q46 — word-count bounds, mean
+    word length, alphabetic-word fraction, distinct-stopword minimum, and
+    the four repetition caps composed into the keep/drop bit."""
+    from semantic_entity_matching_spark.functions.textops import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.regexp_replace(F.col("text"), " (value|table|query) ", "\n"),
+    )
+    return gopher_quality_flags(docs, id_col="doc_id", text_col="text2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1043,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_decontaminate": q45_decontaminate,
         "q46_repetition_extended": q46_repetition_extended,
         "q47_incremental_match": q47_incremental_match,
+        "q48_gopher_filter": q48_gopher_filter,
     }
 
 
@@ -2066,6 +2083,86 @@ def oracle_sql() -> dict[str, str]:
                                / len(b.l)
                      END, 6) AS dup_line_fraction
         FROM base b
+        LEFT JOIN a2 USING (doc_id)
+        LEFT JOIN a3 USING (doc_id)
+        LEFT JOIN a4 USING (doc_id)
+    """
+    )
+
+    # q48 — Gopher filter decision: per-row rule exprs + the q46 repetition
+    # scaffolding; undefined repetition ratios PASS; flags are exact-int
+    # comparisons (mean/frac are int-sum / count divisions — IEEE-identical
+    # doubles in both engines); repetition caps compare the ROUND-6 ratios.
+    sql["q48_gopher_filter"] = (
+        """
+        WITH t2 AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' (value|table|query) ', chr(10), 'g')
+                   AS text2
+          FROM documents WHERE text IS NOT NULL
+        ), base AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text2)), '\\s+'),
+                   x -> x <> '') AS t,
+                 list_filter(
+                   list_transform(string_split(text2, chr(10)),
+                                  s -> trim(s)),
+                   s -> s <> '') AS l
+          FROM t2
+        )
+        """
+        + "".join(
+            _rep_gram.format(n=n, top=n - 1) for n in (2, 3, 4)
+        )
+        + """
+        , rowrules AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(t) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+                   AS ok_word_count,
+                 CASE WHEN len(t) > 0
+                       AND list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                           / len(t) BETWEEN 3.0 AND 10.0
+                      THEN 1 ELSE 0 END AS ok_mean_word_len,
+                 CASE WHEN len(t) > 0
+                       AND len(list_filter(t,
+                             x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                           / len(t) >= 0.80
+                      THEN 1 ELSE 0 END AS ok_alpha_words,
+                 CASE WHEN len(list_intersect(list_distinct(t),
+                        ['the','be','to','of','and','that','have','with']))
+                        >= 2
+                      THEN 1 ELSE 0 END AS ok_stopwords,
+                 CASE WHEN len(l) = 0 OR round(
+                        (len(l) - len(list_distinct(l)))::DOUBLE / len(l), 6)
+                        <= 0.30
+                      THEN 1 ELSE 0 END AS ok_dup_lines
+          FROM base
+        )
+        SELECT r.doc_id, r.n_tokens, r.ok_word_count, r.ok_mean_word_len,
+               r.ok_alpha_words, r.ok_stopwords, r.ok_dup_lines,
+               CASE WHEN a2.tot IS NULL
+                         OR round(a2.mx::DOUBLE / a2.tot, 6) <= 0.20
+                    THEN 1 ELSE 0 END AS ok_2gram,
+               CASE WHEN a3.tot IS NULL
+                         OR round(a3.mx::DOUBLE / a3.tot, 6) <= 0.18
+                    THEN 1 ELSE 0 END AS ok_3gram,
+               CASE WHEN a4.tot IS NULL
+                         OR round(a4.mx::DOUBLE / a4.tot, 6) <= 0.16
+                    THEN 1 ELSE 0 END AS ok_4gram,
+               r.ok_word_count * r.ok_mean_word_len * r.ok_alpha_words
+                 * r.ok_stopwords * r.ok_dup_lines
+                 * (CASE WHEN a2.tot IS NULL
+                              OR round(a2.mx::DOUBLE / a2.tot, 6) <= 0.20
+                         THEN 1 ELSE 0 END)
+                 * (CASE WHEN a3.tot IS NULL
+                              OR round(a3.mx::DOUBLE / a3.tot, 6) <= 0.18
+                         THEN 1 ELSE 0 END)
+                 * (CASE WHEN a4.tot IS NULL
+                              OR round(a4.mx::DOUBLE / a4.tot, 6) <= 0.16
+                         THEN 1 ELSE 0 END) AS passes
+        FROM rowrules r
         LEFT JOIN a2 USING (doc_id)
         LEFT JOIN a3 USING (doc_id)
         LEFT JOIN a4 USING (doc_id)

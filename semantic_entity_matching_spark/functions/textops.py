@@ -359,6 +359,114 @@ def extended_repetition_stats(
     return agg.select(*out_cols)
 
 
+# Gopher rule thresholds (Rae et al.'21 table A1 — public): word count
+# bounds, mean word length bounds, alphabetic-word fraction, the 8-word
+# stop list with >=2 distinct hits, and the repetition caps.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_THRESHOLDS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.80,
+    "min_distinct_stopwords": 2,
+    "max_dup_line_fraction": 0.30,
+    "max_top_2gram_ratio": 0.20,
+    "max_top_3gram_ratio": 0.18,
+    "max_top_4gram_ratio": 0.16,
+}
+
+
+def gopher_quality_flags(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+):
+    """The Gopher quality DECISION operator: compose the rule family into
+    per-rule pass flags and an overall verdict — the keep/drop step of a
+    C4/Gopher-class cleaning pipeline.
+
+    -> (id, n_tokens, ok_word_count, ok_mean_word_len, ok_alpha_words,
+        ok_stopwords, ok_dup_lines, ok_2gram, ok_3gram, ok_4gram, passes)
+    — flags as 0/1 ints (engine-portable).  A repetition rule whose ratio
+    is undefined (too few tokens/lines) PASSES (nothing to measure; the
+    word-count rule already rejects tiny docs).
+
+    Plan: the per-row rules are pure Column exprs on the tokenized text;
+    the repetition ratios come from :func:`extended_repetition_stats` (one
+    tagged-explode shuffle); one join on the id stitches them — two
+    shuffles total regardless of how many rules fire.
+    """
+    from pyspark.sql import functions as F
+
+    t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+    )
+    mean_wl = F.when(
+        F.col("_n") > 0,
+        F.aggregate(
+            F.transform("_t", lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.col("_n"),
+    )
+    alpha_frac = F.when(
+        F.col("_n") > 0,
+        F.size(F.filter("_t", lambda w: w.rlike("[a-z]"))).cast("double")
+        / F.col("_n"),
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("_t"),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = base.select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        ((F.col("_n") >= t["min_tokens"]) & (F.col("_n") <= t["max_tokens"]))
+        .cast("int").alias("ok_word_count"),
+        F.coalesce(
+            (mean_wl >= t["min_mean_word_len"])
+            & (mean_wl <= t["max_mean_word_len"]),
+            F.lit(False),
+        ).cast("int").alias("ok_mean_word_len"),
+        F.coalesce(alpha_frac >= t["min_alpha_word_frac"], F.lit(False))
+        .cast("int").alias("ok_alpha_words"),
+        (n_stop >= t["min_distinct_stopwords"]).cast("int").alias("ok_stopwords"),
+    )
+    rep = extended_repetition_stats(df, id_col=id_col, text_col=text_col)
+
+    def rep_ok(col: str, cap: float):
+        # undefined ratio (NULL) passes
+        return F.coalesce(F.col(col) <= F.lit(cap), F.lit(True)).cast("int")
+
+    rep_flags = rep.select(
+        id_col,
+        rep_ok("dup_line_fraction", t["max_dup_line_fraction"]).alias("ok_dup_lines"),
+        rep_ok("top_2gram_ratio", t["max_top_2gram_ratio"]).alias("ok_2gram"),
+        rep_ok("top_3gram_ratio", t["max_top_3gram_ratio"]).alias("ok_3gram"),
+        rep_ok("top_4gram_ratio", t["max_top_4gram_ratio"]).alias("ok_4gram"),
+    )
+    joined = flags.join(rep_flags, id_col)
+    ok_cols = [
+        "ok_word_count", "ok_mean_word_len", "ok_alpha_words",
+        "ok_stopwords", "ok_dup_lines", "ok_2gram", "ok_3gram", "ok_4gram",
+    ]
+    passes = F.lit(1)
+    for c in ok_cols:
+        passes = passes * F.col(c)
+    return joined.withColumn("passes", passes.cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # document chunking (training-sample preparation)
 # ---------------------------------------------------------------------------

@@ -165,3 +165,22 @@ def test_incremental_stream_equals_batch(spark, tmp_path):
     assert got == expected
     assert len(got) == incoming.count()
     index.unpersist()
+
+
+def test_gopher_quality_flags(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog with energy and "
+            "purpose today " * 5)  # 65 tokens, stopwords, sane lengths
+    spam = "spam " * 60
+    short = "just a few tokens here"
+    df = spark.createDataFrame(
+        [(1, good), (2, spam), (3, short)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["passes"] == 1
+    assert got[2]["ok_2gram"] == 0 and got[2]["passes"] == 0
+    assert got[2]["ok_stopwords"] == 0
+    assert got[3]["ok_word_count"] == 0 and got[3]["passes"] == 0
