@@ -43,6 +43,12 @@ DEFAULT_DIM = 1024  # reference lib/setup_opensearch.py:19 (Titan fixed 1024)
 # superlinearly (khugepaged/THP pressure — BASELINE.md round 3).
 EMBED_CHUNK_ROWS = 1024
 
+# TokenHashEmbeddingProvider's per-worker token-contribution memo, keyed by
+# (dim, ngram).  Bounded: at the cap the memo resets (web vocabulary is
+# Zipf — the hot head re-warms in one batch).  ~100k-token vocab ≈ 30 MB.
+_TOKEN_MEMO: dict[tuple[int, int], dict] = {}
+_TOKEN_MEMO_CAP = 1_000_000
+
 
 class EmbeddingProvider:
     """Provider interface: ``dim`` + a batch embed over a pandas Series.
@@ -165,27 +171,61 @@ class TokenHashEmbeddingProvider(EmbeddingProvider):
     def embed_one(self, text: str) -> list[float]:
         return list(self.embed_batch(pd.Series([text]))[0])
 
+    def _token_contribution(self, token: str) -> tuple[np.ndarray, np.ndarray]:
+        """Aggregated (bucket_indices, summed_signs) of a token's own hash
+        plus all its char n-gram hashes — computed once per DISTINCT token
+        per worker process (see _TOKEN_MEMO)."""
+        acc: dict[int, float] = {}
+        feats = [token]
+        n = self.ngram
+        if len(token) > n:
+            feats.extend(token[i : i + n] for i in range(len(token) - n + 1))
+        for f in feats:
+            h = int.from_bytes(hashlib.md5(f.encode("utf-8")).digest()[:4], "big")
+            b = h % self.dim
+            acc[b] = acc.get(b, 0.0) + (1.0 if (h >> 31) & 1 else -1.0)
+        idx = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        val = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+        return idx, val
+
     def embed_batch(self, texts: pd.Series) -> np.ndarray:
+        import re
+        from collections import Counter
+
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        # feature -> (bucket, sign) memo: web text repeats vocabulary heavily,
-        # so most md5 calls are amortized away within an Arrow batch
-        cache: dict[str, tuple[int, float]] = {}
+        # token -> aggregated contribution memo, PERSISTENT per worker
+        # process (module-level): web text draws from a bounded vocabulary,
+        # so after warm-up no md5 runs at all and no per-occurrence n-gram
+        # slices are allocated — the allocation churn of the old
+        # per-feature loop was the embed stage's memory-pressure driver at
+        # high parallelism.  Bit-identical to the per-feature formulation:
+        # every contribution is a ±1 integer, and integer sums in float64
+        # are exact in any order.
+        memo = _TOKEN_MEMO.setdefault((self.dim, self.ngram), {})
         for i, t in enumerate(texts):
             if t is None or (isinstance(t, float) and np.isnan(t)):
                 continue
+            counts = Counter(
+                tok
+                for tok in re.split(r"\s+", str(t).lower(), flags=re.ASCII)
+                if tok
+            )
             vec = np.zeros(self.dim, dtype=np.float64)
-            for f in self._features(t):
-                hit = cache.get(f)
+            for tok, c in counts.items():
+                hit = memo.get(tok)
                 if hit is None:
-                    h = int.from_bytes(
-                        hashlib.md5(f.encode("utf-8")).digest()[:4], "big"
-                    )
-                    hit = (h % self.dim, 1.0 if (h >> 31) & 1 else -1.0)
-                    cache[f] = hit
-                vec[hit[0]] += hit[1]
+                    if len(memo) >= _TOKEN_MEMO_CAP:
+                        memo.clear()
+                    hit = self._token_contribution(tok)
+                    memo[tok] = hit
+                if c == 1:
+                    vec[hit[0]] += hit[1]
+                else:
+                    vec[hit[0]] += hit[1] * c
             norm = float(np.linalg.norm(vec))
             if norm > 0:
-                out[i] = (vec / norm).astype(np.float32)
+                np.divide(vec, norm, out=vec)
+                out[i] = vec
         return out
 
 
