@@ -311,13 +311,23 @@ def all_block_keys(
     ``sn_key_scan_chars`` bounds the text head the sorted-neighborhood key
     regex scans (surfaced up to :class:`plans.pipeline.MatchConfig` so the
     recall trade for markup-/non-Latin-headed pages is a visible knob, not
-    a buried constant; :func:`sn_short_key_audit` measures its effect)."""
+    a buried constant; :func:`sn_short_key_audit` measures its effect).
+
+    NO dedup shuffle here — (id, block_key) duplicates are structurally
+    impossible: every MinHash key embeds its family prefix AND band index
+    ('mh:<band>:<hash>', one key per band), and the three SN keys per row
+    are distinguished by prefix/suffix ('sn:...', 'sn:...~', 'snp:...').
+    The invariant is pinned by pytest (test_blocking_pairs); downstream
+    pair generation dedups (id_a, id_b) anyway.  Removing the old
+    ``dropDuplicates`` drops a full exchange of the biggest narrow table
+    of the pipeline (35 keys/doc — 2.1M rows at the 60k bench, 3.5×10^13
+    at 10^12 docs)."""
     mh = minhash_block_keys(df, id_col, text_col, lsh)
     sn = sorted_neighborhood_keys(
         df, id_col, text_col, window=sn_window,
         key_scan_chars=sn_key_scan_chars,
     )
-    return mh.unionByName(sn).dropDuplicates([id_col, "block_key"])
+    return mh.unionByName(sn)
 
 
 def sn_short_key_audit(

@@ -249,3 +249,21 @@ def test_banding_recall_is_1_on_fixture(spark):
     n_truth = truth.count()
     assert n_truth > 0  # the fixture must actually contain near-dups
     assert truth.join(cand, ["id_a", "id_b"], "left_anti").count() == 0
+
+
+def test_all_block_keys_emits_no_duplicate_id_key_rows(spark):
+    """all_block_keys skips the dedup shuffle on the structural invariant
+    that no (id, block_key) row repeats — every MinHash key embeds family
+    prefix + band index, SN keys are prefix/suffix-distinct.  Guards the
+    invariant against future key-scheme changes."""
+    from semantic_entity_matching_spark.operators.blocking import all_block_keys
+
+    rows = [
+        (f"u{i}", ("alpha beta gamma delta epsilon zeta " * 40) + f"tail {i}")
+        for i in range(30)
+    ] + [("dup_a", "same text " * 50), ("dup_b", "same text " * 50)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    blocks = all_block_keys(df)
+    total = blocks.count()
+    distinct = blocks.dropDuplicates(["url", "block_key"]).count()
+    assert total == distinct

@@ -357,18 +357,20 @@ def main() -> None:
 
     if args.local:
         n_cores, m_cores = args.local
-        low = median_leg(
-            [
-                run_level(1, input_dir, local_cores=n_cores, pin=True)
-                for _ in range(args.repeats)
-            ]
-        )
-        high = median_leg(
-            [
-                run_level(1, input_dir, local_cores=m_cores, pin=True)
-                for _ in range(args.repeats)
-            ]
-        )
+        # INTERLEAVE the legs (N, 4N, N, 4N, ...): VM state drifts over a
+        # sweep (khugepaged/THP fragmentation accumulates after big runs —
+        # measured: a 60k sweep right after a 120k one read 0.45 with an
+        # anti-scaling scored stage, a fresh leg minutes later was 2x
+        # faster), so running all low legs first systematically biases
+        # the high legs toward the degraded state.  Alternating gives both
+        # legs the same VM-state distribution before the median.
+        low_runs: list[dict] = []
+        high_runs: list[dict] = []
+        for _ in range(args.repeats):
+            low_runs.append(run_level(1, input_dir, local_cores=n_cores, pin=True))
+            high_runs.append(run_level(1, input_dir, local_cores=m_cores, pin=True))
+        low = median_leg(low_runs)
+        high = median_leg(high_runs)
         ratio = m_cores / n_cores
         thr_low = low["rows"] / low["seconds"]
         thr_high = high["rows"] / high["seconds"]
