@@ -1010,6 +1010,91 @@ def q48_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs, id_col="doc_id", text_col="text2")
 
 
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministically planted PII (the driver corpus is
+    letter-only word soup, so emails/phones/IPs are synthesized the same
+    way q43 synthesizes URLs: doc_id-derived, reproducible in ANSI SQL).
+    Every 3rd doc gains an email, every 4th a +1-555 phone, every 5th a
+    dotted-quad IP — docs hit 0-3 of the kinds."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                did.cast("string"),
+                F.lit("@example"),
+                (did % 5).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                (did % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text2", text2)
+
+
+def q49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-kind match counts and the typed-
+    placeholder redacted text, all JVM-side regexps on the scan path
+    (zero shuffle, zero Python)."""
+    from semantic_entity_matching_spark.functions.pii import with_pii_stats
+
+    docs = _docs_with_pii(spark, sf_dir)
+    out = with_pii_stats(docs, text_col="text2", redacted_col="text_redacted")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "text_redacted",
+    )
+
+
+def q50_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide C4-style line dedup over the q46 line-synthesized text:
+    each distinct line survives only at its smallest (doc_id, pos)
+    occurrence; documents are reassembled from their surviving lines.
+    The small shared vocabulary makes line collisions across documents
+    dense — a rich survivor contract."""
+    from semantic_entity_matching_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.regexp_replace(F.col("text"), " (value|table|query) ", "\n"),
+    )
+    return dedup_lines(docs, id_col="doc_id", text_col="text2")
+
+
+def q51_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global corpus vocabulary census: top-25 token 3-grams with the
+    deterministic (count desc, gram asc) tiebreak.  One partially-
+    aggregated exchange + TakeOrdered — never a full sort of the gram
+    table."""
+    from semantic_entity_matching_spark.functions.textops import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, id_col="doc_id", text_col="text", n=3, k=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1060,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_repetition_extended": q46_repetition_extended,
         "q47_incremental_match": q47_incremental_match,
         "q48_gopher_filter": q48_gopher_filter,
+        "q49_pii_redact": q49_pii_redact,
+        "q50_line_dedup": q50_line_dedup,
+        "q51_top_ngrams": q51_top_ngrams,
     }
 
 
@@ -2243,6 +2331,131 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN best b ON b.id_in = d.doc_id AND b.rk = 1
         WHERE d.doc_id % 10 = 0
+    """
+
+    # q49 — PII counts + redaction over deterministically planted PII.
+    # The regex patterns are interpolated from the SAME Python constants
+    # the Spark operator uses (functions/pii.py) — one source of truth,
+    # and the patterns stay in the Java/RE2/DuckDB-common subset.
+    from semantic_entity_matching_spark.functions.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    _pii_text2 = """
+          text
+          || CASE WHEN doc_id % 3 = 0
+                  THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                       || '@example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                  ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+                  THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END
+    """
+    sql["q49_pii_redact"] = (
+        """
+        WITH t2 AS (
+          SELECT doc_id, ("""
+        + _pii_text2
+        + """) AS text2
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '"""
+        + EMAIL_PATTERN
+        + """')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text2, '"""
+        + PHONE_PATTERN
+        + """')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text2, '"""
+        + IPV4_PATTERN
+        + """')) AS BIGINT) AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(text2,
+                 '"""
+        + EMAIL_PATTERN
+        + """', '<EMAIL>', 'g'),
+                 '"""
+        + PHONE_PATTERN
+        + """', '<PHONE>', 'g'),
+                 '"""
+        + IPV4_PATTERN
+        + """', '<IP>', 'g') AS text_redacted
+        FROM t2
+    """
+    )
+
+    # q50 — corpus-wide C4-style line dedup: first (doc_id, pos) occurrence
+    # of each distinct trimmed line survives; docs reassembled in original
+    # line order (null text_dedup when every line was claimed earlier).
+    sql["q50_line_dedup"] = """
+        WITH t2 AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' (value|table|query) ', chr(10), 'g')
+                   AS text2
+          FROM documents WHERE text IS NOT NULL
+        ), arr AS (
+          SELECT doc_id, string_split(text2, chr(10)) AS s FROM t2
+        ), lin AS (
+          SELECT doc_id, i AS pos, trim(s[i]) AS line
+          FROM arr, unnest(range(1, len(s) + 1)) AS u(i)
+          WHERE trim(s[i]) <> ''
+        ), counts AS (
+          SELECT doc_id, count(*) AS n_lines FROM lin GROUP BY doc_id
+        ), firsts AS (
+          SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (
+                     PARTITION BY line ORDER BY doc_id, pos) AS rn
+            FROM lin)
+          WHERE rn = 1
+        ), rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+          FROM firsts GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(c.n_lines AS BIGINT) AS n_lines,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               r.text_dedup
+        FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+    # q51 — global top-25 token 3-grams, (count desc, gram asc) tiebreak
+    sql["q51_top_ngrams"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+          FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+          WHERE len(t) >= 3
+        ), per AS (
+          SELECT gram, doc_id, count(*) AS c FROM grams GROUP BY gram, doc_id
+        ), tot AS (
+          SELECT gram,
+                 count(*) AS n_docs,
+                 sum(c) AS n_occurrences
+          FROM per GROUP BY gram
+        ), ranked AS (
+          SELECT row_number() OVER (
+                   ORDER BY n_occurrences DESC, gram ASC) AS rank,
+                 gram, n_docs, n_occurrences
+          FROM tot
+        )
+        SELECT CAST(rank AS INT) AS rank,
+               gram,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_occurrences AS BIGINT) AS n_occurrences
+        FROM ranked WHERE rank <= 25
     """
 
     return sql

@@ -1,0 +1,84 @@
+"""PII detection and redaction as pure Column expressions.
+
+A web-crawl training-data pipeline must count and strip personally
+identifiable information before anything downstream sees the text.  These
+operators are JVM-side regexps (whole-stage codegen, zero shuffle, zero
+Python) so they run at scan speed over 100 TB — the same shape as the
+reference's per-record field extraction (reference lib/
+transform_json_types.py:21-38: pure per-row transforms on the scan path).
+
+The patterns deliberately stay in the regex subset that Java
+(``java.util.regex``), RE2, and DuckDB all interpret identically —
+character classes, bounded repetition, non-capturing groups; no
+lookaround, no backreferences — so every operator has an exact DuckDB
+oracle twin and would port unchanged to any engine.
+
+Redaction replaces each match with a typed placeholder (``<EMAIL>``,
+``<PHONE>``, ``<IP>``) rather than deleting, preserving token positions
+for downstream chunking/repetition stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ordered: emails first (an address contains dots that the IPv4 pattern
+# must never see), then phones, then bare IPv4s
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,10}"
+IPV4_PATTERN = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PII_RULES = (
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+    ("ipv4", IPV4_PATTERN, "<IP>"),
+)
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (``n_email``/``n_phone``/``n_ipv4``).
+
+    Counts overlap-free left-to-right matches, the semantics both Spark's
+    ``regexp_count`` and DuckDB's ``regexp_extract_all`` implement.  Null
+    text propagates null counts (callers filter or coalesce)."""
+    c = _c(col)
+    return {
+        f"n_{kind}": F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in _PII_RULES
+    }
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace every PII match with its typed placeholder.
+
+    Rules apply in a fixed order (email → phone → ipv4); email matches are
+    rewritten to ``<EMAIL>`` before the IPv4 pass runs, so a dotted quad
+    embedded in an alphabetic-TLD address (``a@1.2.3.4ever.com``) redacts
+    as one EMAIL instead of being shredded into ``a@<IP>ever.com``.  Pure
+    ``regexp_replace`` chain: codegen'd, replace-all in one scan pass per
+    rule."""
+    out = _c(col)
+    for _, pat, placeholder in _PII_RULES:
+        out = F.regexp_replace(out, pat, placeholder)
+    return out
+
+
+def with_pii_stats(
+    df,
+    text_col: str = "text",
+    out_prefix: str = "",
+    redacted_col: str | None = "text_redacted",
+):
+    """Append PII count columns (and optionally the redacted text).
+
+    Map-only: no shuffle, no Python, survives any scale the scan does."""
+    for name, expr in pii_counts(text_col).items():
+        df = df.withColumn(out_prefix + name, expr)
+    if redacted_col:
+        df = df.withColumn(redacted_col, redact_pii(text_col))
+    return df

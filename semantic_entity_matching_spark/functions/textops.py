@@ -536,3 +536,72 @@ def chunk_documents(
             F.array_join(F.col("_c"), " ").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level n-gram vocabulary (global top-k)
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 25,
+):
+    """Global top-``k`` token ``n``-grams across the whole corpus, with a
+    deterministic tiebreak (count desc, gram asc) — the vocabulary/boiler-
+    plate census step of corpus analysis (what C4's authors ran to find
+    the "lorem ipsum" and javascript-warning strings worth filtering).
+
+    -> (rank 1-based, gram, n_docs, n_occurrences), ``k`` rows.
+
+    Scale shape: tokenize + inline n-gram expansion (pure flatMap), then
+    ONE partially-aggregated exchange on the gram — per-doc occurrence
+    counts collapse map-side before the shuffle (count + count-distinct-doc
+    fold into (gram, doc) pre-aggregation), and the final top-k is a
+    ``TakeOrdered`` (per-partition heap -> driver merge of k×partitions
+    rows), never a full global sort of the gram table."""
+    from pyspark.sql import functions as F
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .where(F.size("_t") >= n)
+    )
+    grams = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - F.lit(n)),
+                lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    # (gram, doc) pre-aggregation: in-doc repeats collapse before the
+    # gram-level rollup, and n_docs becomes a plain count
+    per_doc = grams.groupBy("gram", "_id").agg(
+        F.count("*").alias("_c")
+    )
+    totals = per_doc.groupBy("gram").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_c").alias("n_occurrences"),
+    )
+    top = totals.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)
+    # ranking k collected-size rows: the window's single partition is fine
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "gram",
+        "n_docs",
+        "n_occurrences",
+    )

@@ -467,3 +467,81 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style exact line dedup across the WHOLE corpus.
+
+    Every line that occurs more than once anywhere in the corpus is kept
+    only at its first occurrence — "first" meaning the smallest
+    ``(id, position)`` pair, so survivors are deterministic under any
+    partitioning.  This is the boilerplate-removal step of C4/RefinedWeb
+    cleaning ("Subscribe to our newsletter" appears 10^9 times in a crawl;
+    one copy survives).  Blank/whitespace-only lines are dropped outright.
+
+    Returns one row per input document that has at least one non-blank
+    line: ``(id, n_lines, n_kept, text_dedup)`` where ``text_dedup`` is
+    the surviving lines re-joined in original order (null when every line
+    of the document was claimed by an earlier document).
+
+    Scale shape — deliberately NOT a ``row_number`` window over the line:
+    a window partitioned by line content has no partial aggregation and
+    must sort every occurrence of the hottest boilerplate line inside one
+    partition (unsplittable skew).  Instead the first occurrence per line
+    is ``groupBy(line).agg(min(struct(id, pos)))`` — map-side combine
+    collapses each partition's duplicates BEFORE the exchange (struct min
+    lowers to a partial SortAggregate: an in-partition external sort,
+    spill-safe where a hash buffer is not), AQE can split residual skew,
+    and the aggregate's output IS the survivor set
+    (``(min.id, min.pos, line)``), so no join back against the exploded
+    corpus is needed.  Total cost: two partially-aggregated exchanges
+    (per-line firsts, per-doc reassembly) plus one doc-keyed join for the
+    pre-dedup line counts — each strictly smaller than the exploded input.
+    """
+    lines = (
+        df.select(F.col(id_col), F.col(text_col))
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+    )
+    # per-doc pre-dedup line counts (map-side combined, narrow payload)
+    counts = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    # first (id, pos) per distinct line == the survivor set itself
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "f"
+        )
+    )
+    kept = firsts.select(
+        F.col("f.i").alias(id_col), F.col("f.p").alias("pos"), "line"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("text_dedup"),
+    )
+    return (
+        counts.join(rebuilt, id_col, "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .select(id_col, "n_lines", "n_kept", "text_dedup")
+    )

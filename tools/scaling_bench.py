@@ -40,6 +40,28 @@ MASTER_URL = "spark://127.0.0.1:7077"
 EXEC_CORES = 8  # overridable via --exec-cores (see main)
 
 
+SETTLE = False
+
+
+def settle_vm() -> None:
+    """Best-effort VM memory settle before a leg.
+
+    This Firecracker guest accumulates physical-memory fragmentation across
+    benchmark legs (khugepaged/THP compaction stalls are the measured source
+    of the ±3x leg variance — see BASELINE.md).  Forcing a full compaction
+    run between legs resets fragmentation without also cold-flushing the
+    input's page cache (drop_caches was tried and only added cold-read
+    noise).  No-ops without root."""
+    if not SETTLE:
+        return
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as fh:
+            fh.write("1")
+    except OSError:
+        return
+    time.sleep(3)
+
+
 def _port_open(port: int) -> bool:
     with socket.socket() as s:
         s.settimeout(0.5)
@@ -261,6 +283,7 @@ def run_level(
         "--input",
         input_dir,
     ]
+    settle_vm()
     if local_cores:
         cmd += ["--local-cores", str(local_cores)]
         if pin:
@@ -335,8 +358,16 @@ def main() -> None:
         "saturation point so the 1-vs-4-executor comparison measures the "
         "PLAN's scalability instead of single-host syscall contention.",
     )
+    ap.add_argument(
+        "--settle",
+        action="store_true",
+        help="drop clean page cache + force memory compaction before each "
+        "leg (resets khugepaged/THP fragmentation between legs; needs root)",
+    )
     args = ap.parse_args()
     EXEC_CORES = args.exec_cores
+    global SETTLE
+    SETTLE = args.settle
 
     if args.worker:
         worker(args.execs, args.input, local_cores=args.local_cores)
