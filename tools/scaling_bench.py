@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
 EXEC_CORES = 8  # overridable via --exec-cores (see main)
+LEG_TIMEOUT = 1800  # seconds per leg before the watchdog kills + retries
 
 
 SETTLE = False
@@ -149,11 +150,18 @@ def worker(execs: int, input_dir: str, local_cores: int | None = None) -> None:
     )
 
     total_cores = local_cores if local_cores else EXEC_CORES * execs
+    # faulthandler: a wedged/killed Python UDF worker dumps its stack into
+    # the executor log instead of leaving the JVM blocked on a silent
+    # socket (one full JVM-idle/daemon-idle mutual-wait hang was observed
+    # on this VM — see BASELINE.md round-4 notes; the leg watchdog in
+    # run_level is the recovery, this conf is the diagnostic)
+    diag_conf = {"spark.python.worker.faulthandler.enabled": "true"}
     spark = get_session(
         master=f"local[{local_cores}]" if local_cores else MASTER_URL,
         shuffle_partitions=total_cores,
         app_name=f"scaling-bench-{execs}x{EXEC_CORES}",
-        extra_conf={} if local_cores else {
+        extra_conf=diag_conf if local_cores else {
+            **diag_conf,
             "spark.executor.cores": str(EXEC_CORES),
             "spark.executor.memory": "12g",
             "spark.cores.max": str(total_cores),
@@ -291,28 +299,43 @@ def run_level(
             # workers) to exactly its core budget, or the small leg silently
             # overflows onto all 32 physical cores
             cmd = ["taskset", "-c", f"0-{local_cores - 1}"] + cmd
-    proc = subprocess.run(
-        cmd,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-        env={
-            **os.environ,
-            "SPARK_GRAFT_CPUS": str(local_cores or EXEC_CORES * execs),
-            "SCALING_EXEC_CORES": str(EXEC_CORES),
-        },
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("WORKER_RESULT "):
-            return json.loads(line[len("WORKER_RESULT "):])
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_CPUS": str(local_cores or EXEC_CORES * execs),
+        "SCALING_EXEC_CORES": str(EXEC_CORES),
+    }
+    # watchdog + one retry: a leg can wedge outright (observed once on this
+    # VM: JVM task thread blocked on the Arrow socket, Python daemon idle —
+    # a mutual socket wait with zero CPU anywhere).  A hung leg says nothing
+    # about the plan; kill it and measure a fresh one.  A second consecutive
+    # hang is a real failure and raises.
+    last_err = ""
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=LEG_TIMEOUT, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"leg (cores={local_cores or EXEC_CORES * execs}) hung past "
+                f"{LEG_TIMEOUT}s — killed, retry {attempt + 1}/1",
+                file=sys.stderr,
+            )
+            last_err = f"timeout after {LEG_TIMEOUT}s"
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                return json.loads(line[len("WORKER_RESULT "):])
+        last_err = proc.stderr[-12000:]
+        break
     raise RuntimeError(
-        f"worker (execs={execs}) produced no result; stderr tail:\n"
-        + proc.stderr[-12000:]
+        f"worker (execs={execs}) produced no result; stderr tail:\n" + last_err
     )
 
 
 def main() -> None:
-    global EXEC_CORES
+    global EXEC_CORES, SETTLE, LEG_TIMEOUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--execs", type=int, default=1)
@@ -361,13 +384,21 @@ def main() -> None:
     ap.add_argument(
         "--settle",
         action="store_true",
-        help="drop clean page cache + force memory compaction before each "
-        "leg (resets khugepaged/THP fragmentation between legs; needs root)",
+        help="force a memory-compaction pass before each leg (resets "
+        "khugepaged/THP fragmentation between legs; needs root)",
+    )
+    ap.add_argument(
+        "--leg-timeout",
+        type=int,
+        default=LEG_TIMEOUT,
+        help="watchdog seconds per leg; a leg exceeding this is killed and "
+        "retried once (guards against the observed Arrow-socket worker "
+        "hang, which otherwise blocks the sweep forever)",
     )
     args = ap.parse_args()
     EXEC_CORES = args.exec_cores
-    global SETTLE
     SETTLE = args.settle
+    LEG_TIMEOUT = args.leg_timeout
 
     if args.worker:
         worker(args.execs, args.input, local_cores=args.local_cores)
