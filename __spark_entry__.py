@@ -1095,6 +1095,161 @@ def q51_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, id_col="doc_id", text_col="text", n=3, k=25)
 
 
+def q52_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: every document assigned to a fixed
+    2,000-token shard, greedily filled in deterministic md5(doc_id) order.
+    The Spark plan is the bucket-aligned distributed prefix-sum
+    (operators/pack.py — two narrow scans + one bucket shuffle, NO global
+    Sort node); the DuckDB oracle recomputes the same assignment with the
+    naive single-window global cumulative sum."""
+    from semantic_entity_matching_spark.operators.pack import (
+        pack_by_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_by_token_budget(
+        docs, budget=2_000, id_col="doc_id", text_col="text"
+    )
+
+
+def q53_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep-best canonicalization — the decision a dedup pipeline
+    actually ships: MinHash near-dup pairs (the exact q21 jaccard>=0.9
+    contract) -> connected components (singletons included) -> per cluster
+    keep ONLY the longest document (whitespace tokens, ties to smallest
+    doc_id).  Oracle = quadratic jaccard pairs + recursive-CTE
+    reachability + a rank window."""
+    from semantic_entity_matching_spark.operators.cluster import (
+        clusters_from_pairs,
+    )
+    from semantic_entity_matching_spark.operators.dedup import (
+        keep_best_representatives,
+        minhash_near_duplicates,
+    )
+    from semantic_entity_matching_spark.operators.pairs import PairGenConfig
+    from semantic_entity_matching_spark.functions.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        jaccard_threshold=0.9,
+        pairgen=PairGenConfig(max_block_size=1_000_000, hot_block_threshold=20),
+    ).select("id_a", "id_b")
+    assign = clusters_from_pairs(pairs, all_ids=docs, id_col="doc_id")
+    scored = docs.select(
+        F.col("doc_id"), token_count("text").cast("long").alias("n_tokens")
+    )
+    full = scored.join(
+        assign.withColumnRenamed("id", "doc_id"), "doc_id", "inner"
+    )
+    return keep_best_representatives(full, score_col="n_tokens").select(
+        "doc_id", "component", "n_tokens", "keep"
+    )
+
+
+def _prefix_block_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, block_key) where the key is the first 10 alphanumeric
+    chars of the lowercased text — the deliberately-simple, SQL-twin-able
+    blocking scheme q54/q55 EVALUATE (reduction ratio / completeness /
+    B-cubed).  Null text or an empty normalized key drops the doc from
+    the keyed set (it becomes a singleton in clustering terms)."""
+    return docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 10
+        ).alias("block_key"),
+    ).where(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+
+
+def q54_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-evaluation metrics (reduction ratio / pairs completeness /
+    pairs quality) of a 10-char-prefix blocking scheme against the exact
+    jaccard>=0.9 gold pair set.  The candidate set runs through the REAL
+    production pair generator (block cap + hot-key salting,
+    operators/pairs.py); the gold set is an eval-scale exact quadratic
+    join (gold labels are an input at production scale, reference
+    lib/evaluate.py:20-34)."""
+    from semantic_entity_matching_spark.operators.dedup import _distinct_tokens
+    from semantic_entity_matching_spark.operators.evaluate import (
+        blocking_quality,
+    )
+    from semantic_entity_matching_spark.operators.pairs import (
+        PairGenConfig,
+        generate_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_records = docs.count()
+    cand = generate_candidate_pairs(
+        _prefix_block_keys(docs),
+        id_col="doc_id",
+        config=PairGenConfig(max_block_size=50, hot_block_threshold=20),
+        keep_block_key=False,
+    )
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", _distinct_tokens("text").alias("tok"))
+        .where(F.size("tok") > 0)
+    )
+    # the gold build is a broadcast nested-loop join whose parallelism is
+    # the LEFT side's partition count — a single-file scan would run it as
+    # ONE task (the q29 lesson); spread the probe side first
+    a = toks.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("id_a"), F.col("tok").alias("ta")
+    )
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    gold = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(inter.cast("double") / union >= 0.9)
+        .select("id_a", "id_b")
+    )
+    return blocking_quality(cand, gold, n_records=n_records)
+
+
+def q55_bcubed_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of prefix-key clustering (each 10-char
+    block key is one predicted cluster; unkeyed docs are singletons)
+    against the MinHash jaccard>=0.9 connected-component gold clustering
+    (the exact q21/q53 contract).  Oracle recomputes both clusterings in
+    SQL (group-by key; recursive-CTE reachability) and the same
+    cell-count B-cubed roll-up."""
+    from semantic_entity_matching_spark.operators.cluster import (
+        clusters_from_pairs,
+    )
+    from semantic_entity_matching_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from semantic_entity_matching_spark.operators.evaluate import bcubed_metrics
+    from semantic_entity_matching_spark.operators.pairs import PairGenConfig
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = _prefix_block_keys(docs)
+    grp = keys.groupBy("block_key").agg(F.min("doc_id").alias("_comp"))
+    pred = (
+        docs.select("doc_id")
+        .join(keys, "doc_id", "left")
+        .join(grp, "block_key", "left")
+        .select(
+            "doc_id", F.coalesce("_comp", F.col("doc_id")).alias("component")
+        )
+    )
+    pairs = minhash_near_duplicates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        jaccard_threshold=0.9,
+        pairgen=PairGenConfig(max_block_size=1_000_000, hot_block_threshold=20),
+    ).select("id_a", "id_b")
+    gold = clusters_from_pairs(
+        pairs, all_ids=docs, id_col="doc_id"
+    ).withColumnRenamed("id", "doc_id")
+    return bcubed_metrics(pred, gold)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1148,6 +1303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_pii_redact": q49_pii_redact,
         "q50_line_dedup": q50_line_dedup,
         "q51_top_ngrams": q51_top_ngrams,
+        "q52_pack_shards": q52_pack_shards,
+        "q53_dedup_survivors": q53_dedup_survivors,
+        "q54_blocking_quality": q54_blocking_quality,
+        "q55_bcubed_clustering": q55_bcubed_clustering,
     }
 
 
@@ -2456,6 +2615,205 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_docs AS BIGINT) AS n_docs,
                CAST(n_occurrences AS BIGINT) AS n_occurrences
         FROM ranked WHERE rank <= 25
+    """
+
+    # naive form of the distributed prefix-sum: ONE global window.  Shard =
+    # exclusive prefix of token counts in md5(id) order, integer-divided by
+    # the budget.  Integer arithmetic end to end (no float division).
+    sql["q52_pack_shards"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) AS k,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                     ORDER BY k ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prefix
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(prefix // 2000 AS BIGINT) AS shard_id
+        FROM c
+    """
+
+    # q21's quadratic jaccard pairs -> recursive reachability (component =
+    # min id, q23's oracle shape) -> keep the longest doc per component
+    # (ties to smallest doc_id)
+    sql["q53_dedup_survivors"] = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+                  / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ), walk(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+        ), assign AS (
+            SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+        ), scored AS (
+            SELECT a.doc_id, a.component,
+                   CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                   END AS n_tokens
+            FROM assign a JOIN documents d ON d.doc_id = a.doc_id
+        )
+        SELECT doc_id,
+               component,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY n_tokens DESC, doc_id ASC) = 1
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM scored
+    """
+
+    # blocking metrics: the candidate set replays the production pair
+    # generator's observable semantics (prefix key, block cap 50, pair
+    # dedup); gold = exact quadratic jaccard >= 0.9.  Integer counts cast
+    # BIGINT; ratios rounded to 6 in both engines.
+    sql["q54_blocking_quality"] = """
+        WITH keys2 AS (
+            SELECT doc_id,
+                   substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                             1, 10) AS k
+            FROM documents
+            WHERE text IS NOT NULL
+              AND substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                            1, 10) <> ''
+        ), sizes AS (
+            SELECT k, count(*) AS c FROM keys2 GROUP BY k
+        ), kept AS (
+            SELECT k2.doc_id, k2.k
+            FROM keys2 k2 JOIN sizes s ON s.k = k2.k
+            WHERE s.c <= 50
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM kept a JOIN kept b ON a.k = b.k AND a.doc_id < b.doc_id
+        ), toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
+        ), gold AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+                  / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        ), counts AS (
+            SELECT (SELECT count(*) FROM documents) AS n_records,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM gold) AS n_gold,
+                   (SELECT count(*) FROM gold g JOIN cand c
+                      ON g.id_a = c.id_a AND g.id_b = c.id_b) AS gold_covered
+        )
+        SELECT CAST(n_records AS BIGINT) AS n_records,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_gold AS BIGINT) AS n_gold,
+               CAST(gold_covered AS BIGINT) AS gold_covered,
+               round(CASE WHEN n_records > 1
+                          THEN 1.0 - n_candidates::DOUBLE
+                               / ((n_records * (n_records - 1)) // 2)
+                          ELSE 1.0 END, 6) AS reduction_ratio,
+               round(CASE WHEN n_gold > 0
+                          THEN gold_covered::DOUBLE / n_gold
+                          ELSE 1.0 END, 6) AS pairs_completeness,
+               round(CASE WHEN n_candidates > 0
+                          THEN gold_covered::DOUBLE / n_candidates
+                          ELSE 1.0 END, 6) AS pairs_quality
+        FROM counts
+    """
+
+    # B-cubed: predicted clusters = prefix-key groups (component = min id,
+    # unkeyed docs singletons); gold clusters = q53's recursive-CTE
+    # reachability over exact jaccard >= 0.9 pairs; metric = cell-count
+    # roll-up (mean per-record precision/recall collapses to
+    # sum(i^2/size)/N)
+    sql["q55_bcubed_clustering"] = """
+        WITH RECURSIVE keys2 AS (
+            SELECT doc_id,
+                   substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                             1, 10) AS k
+            FROM documents
+            WHERE text IS NOT NULL
+              AND substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                            1, 10) <> ''
+        ), grp AS (
+            SELECT k, min(doc_id) AS comp FROM keys2 GROUP BY k
+        ), pred AS (
+            SELECT d.doc_id, coalesce(g.comp, d.doc_id) AS cp
+            FROM documents d
+            LEFT JOIN keys2 k2 ON k2.doc_id = d.doc_id
+            LEFT JOIN grp g ON g.k = k2.k
+        ), toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+                  / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ), walk(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+        ), assign AS (
+            SELECT id AS doc_id, min(comp) AS cg FROM walk GROUP BY id
+        ), jn AS (
+            SELECT p.doc_id, p.cp, a.cg
+            FROM pred p JOIN assign a ON a.doc_id = p.doc_id
+        ), cells AS (
+            SELECT cp, cg, count(*) AS i FROM jn GROUP BY cp, cg
+        ), sp AS (
+            SELECT cp, count(*) AS np FROM jn GROUP BY cp
+        ), sg AS (
+            SELECT cg, count(*) AS ng FROM jn GROUP BY cg
+        ), per AS (
+            SELECT cells.i,
+                   cells.i * cells.i / sp.np::DOUBLE AS pc,
+                   cells.i * cells.i / sg.ng::DOUBLE AS rc
+            FROM cells
+            JOIN sp ON sp.cp = cells.cp
+            JOIN sg ON sg.cg = cells.cg
+        )
+        SELECT CAST(sum(i) AS BIGINT) AS n_docs,
+               round(sum(pc) / sum(i), 6) AS bcubed_precision,
+               round(sum(rc) / sum(i), 6) AS bcubed_recall,
+               round(CASE WHEN sum(pc) / sum(i) + sum(rc) / sum(i) > 0
+                          THEN 2.0 * (sum(pc) / sum(i)) * (sum(rc) / sum(i))
+                               / (sum(pc) / sum(i) + sum(rc) / sum(i))
+                          ELSE 0.0 END, 6) AS bcubed_f1
+        FROM per
     """
 
     return sql

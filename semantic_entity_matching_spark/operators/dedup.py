@@ -545,3 +545,38 @@ def dedup_lines(
         .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
         .select(id_col, "n_lines", "n_kept", "text_dedup")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup survivor selection (keep-best canonicalization)
+# ---------------------------------------------------------------------------
+
+def keep_best_representatives(
+    assignments: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Mark ONE survivor per duplicate cluster: the row with the highest
+    ``score_col`` (ties broken by smallest ``id_col``) gets ``keep = 1``,
+    every other cluster member 0.
+
+    This is the decision step a dedup pipeline actually ships: near-dup
+    detection (MinHash / SimHash / cosine) groups documents, and the
+    corpus keeps the best representative of each group (e.g. the longest
+    page of a boilerplate family, C4/RefinedWeb-style).  Input is any
+    ``(id, component, score)`` assignment — compose with
+    ``connected_components`` over near-dup pairs.
+
+    Scale shape: one window keyed by the cluster id.  Cluster sizes are
+    bounded by the upstream blocking caps (a pathological giant cluster
+    would already have tripped the ``blocks_dropped`` audit), so no
+    per-key skew mitigation is needed here; the payload through the
+    exchange is the narrow (id, component, score) triple.
+    """
+    w = Window.partitionBy(component_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return assignments.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )

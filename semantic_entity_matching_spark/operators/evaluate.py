@@ -75,6 +75,135 @@ def pairwise_metrics(
     return PairwiseMetrics(int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0))
 
 
+def blocking_quality(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_records: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Standard blocking-evaluation metrics (one-row DataFrame):
+
+    * ``reduction_ratio``    — 1 − |candidates| / (n·(n−1)/2): how much of
+      the quadratic comparison space the blocking scheme eliminates.
+    * ``pairs_completeness`` — |candidates ∩ gold| / |gold|: recall of the
+      blocking step (the miss rate is 1 − this).
+    * ``pairs_quality``      — |candidates ∩ gold| / |candidates|:
+      precision of the candidate set.
+
+    ``gold`` is the labeled true-match pair set — an eval-set-scale input
+    (the reference likewise evaluates against provided gold labels,
+    lib/evaluate.py:20-34); ``candidates`` is blocking output at corpus
+    scale.  Both sides are canonicalized (least/greatest) and deduped, so
+    orientation never skews counts.  Scale shape: the candidate set is
+    aggregated (count) and semi-joined against the gold set — one hash
+    join keyed by the pair, three scalar aggregates, no collect of pair
+    rows.
+    """
+    if n_records < 0:
+        raise ValueError(f"n_records must be >= 0, got {n_records}")
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("id_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("id_b"),
+        ).distinct()
+
+    cand = canon(candidates)
+    g = canon(gold)
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_gold = g.agg(F.count("*").cast("long").alias("n_gold"))
+    n_cov = g.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").cast("long").alias("gold_covered")
+    )
+    total_pairs = n_records * (n_records - 1) // 2
+    return (
+        n_cand.crossJoin(n_gold)
+        .crossJoin(n_cov)
+        .select(
+            F.lit(int(n_records)).cast("long").alias("n_records"),
+            "n_candidates",
+            "n_gold",
+            "gold_covered",
+            F.round(
+                F.when(F.lit(total_pairs) > 0,
+                       1.0 - F.col("n_candidates") / F.lit(float(total_pairs))
+                       ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.when(F.col("n_gold") > 0,
+                       F.col("gold_covered") / F.col("n_gold")
+                       ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("pairs_completeness"),
+            F.round(
+                F.when(F.col("n_candidates") > 0,
+                       F.col("gold_covered") / F.col("n_candidates")
+                       ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("pairs_quality"),
+        )
+    )
+
+
+def bcubed_metrics(
+    predicted: DataFrame,
+    gold: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "component",
+    gold_col: str = "component",
+) -> DataFrame:
+    """B-cubed clustering precision/recall/F1 (one-row DataFrame) — THE
+    standard entity-resolution clustering metric (Bagga & Baldwin 1998):
+    per record, precision = |C(r) ∩ L(r)| / |C(r)| and recall =
+    |C(r) ∩ L(r)| / |L(r)| where C is the predicted cluster and L the
+    gold cluster; the summary is the mean over records.
+
+    Inputs are assignments ``predicted(id, component)`` and ``gold(id,
+    component)``; records present in only one side are ignored (inner
+    join on the id).  Scale shape: the per-record means collapse into
+    cell sums — mean(P) = Σ_cells |cell|² / |pred cluster| / N — so the
+    whole metric is three hash aggregates (cell counts, per-cluster
+    sizes, one scalar roll-up) over narrow int columns plus two
+    cluster-table joins; nothing is ever enumerated per pair.
+    """
+    p = predicted.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("_cp")
+    )
+    g = gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_cg"))
+    both = p.join(g, "_id")
+    cells = both.groupBy("_cp", "_cg").agg(F.count("*").alias("_i"))
+    sizes_p = both.groupBy("_cp").agg(F.count("*").alias("_np"))
+    sizes_g = both.groupBy("_cg").agg(F.count("*").alias("_ng"))
+    per_cell = (
+        cells.join(sizes_p, "_cp")
+        .join(sizes_g, "_cg")
+        .select(
+            (F.col("_i") * F.col("_i") / F.col("_np")).alias("_pc"),
+            (F.col("_i") * F.col("_i") / F.col("_ng")).alias("_rc"),
+            F.col("_i"),
+        )
+    )
+    summ = per_cell.agg(
+        F.sum("_i").cast("long").alias("n_docs"),
+        (F.sum("_pc") / F.sum("_i")).alias("_p"),
+        (F.sum("_rc") / F.sum("_i")).alias("_r"),
+    )
+    return summ.select(
+        "n_docs",
+        F.round("_p", 6).alias("bcubed_precision"),
+        F.round("_r", 6).alias("bcubed_recall"),
+        F.round(
+            F.when(
+                F.col("_p") + F.col("_r") > 0,
+                2.0 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("bcubed_f1"),
+    )
+
+
 def rank_results(
     scored: DataFrame,
     query_col: str = "id_a",

@@ -18,6 +18,12 @@ if a property regresses.  Properties audited:
      a corpus-side broadcast is a driver-serial HashedRelation build
      shipped per-executor, measured anti-scaling 30→160 s at 4 executors,
      and cannot exist at 10^12 docs
+  7. decontamination broadcasts the (small) eval n-gram set — the corpus
+     never shuffles for the overlap join
+  8. host stats stay fully JVM (no Python eval node) with map-side
+     partial aggregation before the domain shuffle
+  9. shard packing never range-partitions (no global sort) — the only
+     exchange is the hash shuffle on the md5-prefix bucket
 
 Usage: python tools/plan_audit.py
 """
@@ -206,6 +212,25 @@ def main() -> None:
         "pure JVM exprs + partial aggregation"
         if no_python and partial
         else f"python_node={not no_python} partial_agg={partial}",
+    )
+
+    # 9. shard packing is a bucket-wise prefix-sum, not a global sort: the
+    # plan must contain NO range-partitioning exchange (the signature of a
+    # global Sort/window) — only the hash exchange on the bucket column.
+    # (A within-partition Sort under FlatMapGroupsInPandas is fine: it
+    # sorts each bucket locally, never range-shuffles the corpus.)
+    from semantic_entity_matching_spark.operators.pack import (
+        pack_by_token_budget,
+    )
+
+    e_pk = explained_of(pack_by_token_budget(docs, budget=2_000))
+    n_hash_ex = e_pk.count("hashpartitioning")
+    check(
+        "pack_no_global_sort",
+        "rangepartitioning" not in e_pk,
+        f"no rangepartitioning exchange (hash exchanges x{n_hash_ex})"
+        if "rangepartitioning" not in e_pk
+        else "rangepartitioning exchange present — global sort leaked in",
     )
 
     if FAILURES:
