@@ -22,6 +22,8 @@ container, so ``SentenceEmbeddingProvider`` raises NotImplementedError).
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 from typing import Callable
 
 import numpy as np
@@ -229,6 +231,137 @@ class TokenHashEmbeddingProvider(EmbeddingProvider):
         return out
 
 
+# Per-worker weight cache for RandomProjectionEmbeddingProvider.  One
+# weight set per (feature_dim, dim, seed, depth) — the cache is cleared on
+# a new key, so a worker never holds more than one set (~80 MB at the
+# defaults).
+_RP_WEIGHTS: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+class RandomProjectionEmbeddingProvider(EmbeddingProvider):
+    """Training-free random-encoder sentence embedding at real-model cost.
+
+    Architecture: token-hash features (the hashing trick, as
+    :class:`TokenHashEmbeddingProvider`) -> ``depth`` residual
+    random-projection layers ``h := normalize(h + tanh(h @ W))`` with a
+    fixed Gaussian ``W`` (feature_dim x feature_dim, seeded) -> a final
+    random projection to ``dim`` -> L2 normalize.  Random-weight sentence
+    encoders are a published, surprisingly-strong baseline (Wieting &
+    Kiela, ICLR 2019, "No Training Required: Exploring Random Encoders
+    for Sentence Classification"); the residual form keeps the layer map
+    close to the identity, so near-duplicate pairs keep high cosine while
+    unrelated pages stay near-orthogonal (pinned by pytest).
+
+    Purpose: the deterministic md5/token-hash stand-ins cost ~0.5 ms/page
+    — 1-2 orders of magnitude LIGHTER than the model-backed embedding
+    stage of the reference (an AWS Bedrock Titan call per row behind 100
+    async workers, reference lib/vectorize_columns.py:36-88) or any local
+    transformer (a MiniLM-class model is ~10 GFLOP per 256-token page).
+    This provider performs ~0.15-0.3 GFLOP/page of genuine BLAS encoder
+    work — the LOW end of real embedder cost — so scaling runs that use
+    it measure the production workload mix (embed-dominated) rather than
+    an artificially exchange-dominated one.  Deterministic given the seed,
+    single-threaded BLAS, and a fixed batch shape (BLAS reduction order
+    differs between GEMV/GEMM paths at ~1e-7 float32 noise — use the
+    bit-stable md5/token-hash providers for value-hash oracles); no model
+    weights to download.
+    """
+
+    name = "random-projection"
+
+    def __init__(
+        self,
+        dim: int = DEFAULT_DIM,
+        feature_dim: int = 4096,
+        depth: int = 4,
+        seed: int = 0xC0FFEE,
+        ngram: int = 3,
+    ):
+        super().__init__(dim=dim)
+        self.feature_dim = feature_dim
+        self.depth = depth
+        self.seed = seed
+        self._feats = TokenHashEmbeddingProvider(dim=feature_dim, ngram=ngram)
+
+    def _weights(self) -> tuple[np.ndarray, np.ndarray]:
+        """Weights are generated once PER HOST and mmap'd read-only by every
+        Python UDF worker (atomic tmp+rename publish; concurrent generators
+        write identical deterministic bytes, so the race is benign).  The
+        per-worker alternative — ~3 s of RNG and an 80 MB private copy each
+        — is a fixed cost that lands once per worker process, i.e. 4x more
+        often on a 4N leg than an N leg: exactly the kind of asymmetric
+        overhead scaling evidence must not carry.  Falls back to in-memory
+        generation where no writable cache dir exists."""
+        key = (self.feature_dim, self.dim, self.seed)
+        w = _RP_WEIGHTS.get(key)
+        if w is not None:
+            return w
+        cache_dir = os.environ.get(
+            "SEM_SPARK_RP_CACHE",
+            "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+        )
+        tag = f"sem_rp_{self.feature_dim}x{self.dim}_{self.seed:x}"
+        w_path = os.path.join(cache_dir, f"{tag}_W.npy")
+        p_path = os.path.join(cache_dir, f"{tag}_P.npy")
+        try:
+            if not (os.path.exists(w_path) and os.path.exists(p_path)):
+                W, P = self._generate()
+                for arr, path in ((W, w_path), (P, p_path)):
+                    # np.save appends '.npy' unless the name already ends
+                    # with it — keep the tmp name a valid .npy path so the
+                    # atomic rename targets the file actually written
+                    tmp = f"{path}.{os.getpid()}.tmp.npy"
+                    np.save(tmp, arr)
+                    os.replace(tmp, path)
+            w = (
+                np.load(w_path, mmap_mode="r"),
+                np.load(p_path, mmap_mode="r"),
+            )
+        except OSError:
+            w = self._generate()
+        _RP_WEIGHTS.clear()
+        _RP_WEIGHTS[key] = w
+        return w
+
+    def _generate(self) -> tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(self.seed)
+        scale = np.float32(1.0 / np.sqrt(self.feature_dim))
+        W = rng.standard_normal(
+            (self.feature_dim, self.feature_dim), dtype=np.float32
+        )
+        W *= scale
+        P = rng.standard_normal((self.dim, self.feature_dim), dtype=np.float32)
+        P *= scale
+        return W, P
+
+    def embed_one(self, text: str) -> list[float]:
+        return list(self.embed_batch(pd.Series([text]))[0])
+
+    def embed_batch(self, texts: pd.Series) -> np.ndarray:
+        W, P = self._weights()
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        # chunked like HashEmbeddingProvider: bounds the transient
+        # (chunk, feature_dim) activations to ~16 MB regardless of the
+        # Arrow batch size the engine hands us
+        for start in range(0, len(texts), EMBED_CHUNK_ROWS):
+            stop = min(start + EMBED_CHUNK_ROWS, len(texts))
+            h = self._feats.embed_batch(texts.iloc[start:stop])  # (c, F) unit/zero rows
+            for _ in range(self.depth):
+                g = np.tanh(h @ W.T)
+                h += g
+                norms = np.linalg.norm(h, axis=1, keepdims=True)
+                np.maximum(norms, 1e-12, out=norms)
+                h /= norms
+            o = h @ P.T
+            norms = np.linalg.norm(o, axis=1, keepdims=True)
+            np.maximum(norms, 1e-12, out=norms)
+            o /= norms
+            out[start:stop] = o
+        # all-zero feature rows (null/blank text) stay exactly zero through
+        # tanh/matmul; renormalization with the 1e-12 floor keeps them zero
+        return out
+
+
 class SentenceEmbeddingProvider(EmbeddingProvider):
     """Placeholder for a real sentence-transformer model.
 
@@ -251,6 +384,7 @@ class SentenceEmbeddingProvider(EmbeddingProvider):
 PROVIDERS: dict[str, type[EmbeddingProvider]] = {
     HashEmbeddingProvider.name: HashEmbeddingProvider,
     TokenHashEmbeddingProvider.name: TokenHashEmbeddingProvider,
+    RandomProjectionEmbeddingProvider.name: RandomProjectionEmbeddingProvider,
     SentenceEmbeddingProvider.name: SentenceEmbeddingProvider,
 }
 

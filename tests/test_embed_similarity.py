@@ -55,10 +55,54 @@ def test_embedding_udf_roundtrip(spark):
 
 def test_provider_registry():
     assert get_provider("hash-md5", dim=8).dim == 8
+    assert get_provider("random-projection", dim=16).dim == 16
     with pytest.raises(KeyError):
         get_provider("nope")
     with pytest.raises(NotImplementedError):
         SentenceEmbeddingProvider(dim=8).embed_batch(pd.Series(["x"]))
+
+
+def test_random_projection_provider():
+    """The production-weight random-encoder provider (BOREP-style, Wieting
+    & Kiela ICLR'19): deterministic, unit-norm, null-safe, and
+    similarity-preserving — near-duplicate pages must stay clearly more
+    cosine-similar than unrelated pages (the property the blocking
+    cascade and prescore cutoffs rely on)."""
+    from semantic_entity_matching_spark.functions.embed import (
+        RandomProjectionEmbeddingProvider,
+        TokenHashEmbeddingProvider,
+    )
+
+    # small dims keep the test fast; the architecture is size-independent
+    p = RandomProjectionEmbeddingProvider(dim=32, feature_dim=128, depth=3)
+    base = [f"word{i:04d}" for i in range(300)]
+    doc = " ".join(base)
+    neardup = " ".join(base[:150] + ["altered", "tokens", "here"] + base[153:])
+    unrelated = " ".join(f"zz{i:04d}q" for i in range(300))
+
+    m1 = p.embed_batch(pd.Series([doc, neardup, unrelated, None, ""]))
+    m2 = p.embed_batch(pd.Series([doc, neardup, unrelated, None, ""]))
+    assert np.array_equal(m1, m2)  # deterministic, bit-stable
+    assert m1.shape == (5, 32) and m1.dtype == np.float32
+    # null / blank text => exactly-zero vector (masked to null by udf())
+    assert not m1[3].any() and not m1[4].any()
+    np.testing.assert_allclose(np.linalg.norm(m1[:3], axis=1), 1.0, atol=1e-5)
+
+    near = float(m1[0] @ m1[1])
+    far = float(m1[0] @ m1[2])
+    assert near > 0.9, near
+    assert near - far > 0.2, (near, far)
+    # contrast survives the projection: at least comparable to feature space
+    f = TokenHashEmbeddingProvider(dim=128).embed_batch(
+        pd.Series([doc, neardup, unrelated])
+    )
+    assert near > float(f[0] @ f[1]) - 0.05
+
+    # batch ~= single: BLAS picks different reduction orders for GEMV vs
+    # GEMM, so values agree to float32 noise (~1e-7), not bit-for-bit —
+    # which is why this provider backs scaling/throughput evidence, not
+    # the DuckDB value-hash oracles
+    assert p.embed_one(doc) == pytest.approx(list(m1[0]), abs=1e-5)
 
 
 def test_cosine_udf_matches_oracle(spark):

@@ -123,7 +123,13 @@ def stop_cluster(stop_master: bool) -> None:
                        capture_output=True)
 
 
-def worker(execs: int, input_dir: str, local_cores: int | None = None) -> None:
+def worker(
+    execs: int,
+    input_dir: str,
+    local_cores: int | None = None,
+    provider_name: str = "token-hash",
+    rp_depth: int = 10,
+) -> None:
     """One timed leg.  ``local_cores`` switches to the sanctioned sandbox
     proxy (same job at local[N] vs local[4N] — one JVM, in-process
     exchanges): the standalone-cluster mode measures real serialized
@@ -132,6 +138,14 @@ def worker(execs: int, input_dir: str, local_cores: int | None = None) -> None:
     global EXEC_CORES
     EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", EXEC_CORES))
     os.environ["PYSPARK_PYTHON"] = sys.executable
+    # single-threaded BLAS in every Python UDF worker: numpy's OpenBLAS
+    # otherwise spawns a thread pool per worker sized to ALL visible CPUs —
+    # inside a taskset-pinned leg that oversubscribes the core budget, and
+    # threaded float32 GEMM reductions are not bit-stable across thread
+    # counts.  Set here (inherited by the JVM and its python workers)
+    # before any Spark process starts.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
     from semantic_entity_matching_spark import get_session
     from semantic_entity_matching_spark.plans.pipeline import (
         MatchConfig,
@@ -229,9 +243,28 @@ def worker(execs: int, input_dir: str, local_cores: int | None = None) -> None:
         # (4× smaller pair-join payload, exact-float rescore of survivors —
         # edges/clusters pinned identical to the float path by pytest), so
         # the scaling legs measure that configuration.
+        # --provider random-projection runs the PRODUCTION-WEIGHT embed
+        # configuration: the md5/token-hash stand-ins are 1-2 orders of
+        # magnitude lighter than the reference's model-backed embed stage
+        # (a Bedrock Titan call per row), so with them the measured
+        # workload mix over-weights the exchange stages relative to any
+        # real deployment.  The random-encoder provider performs genuine
+        # BLAS encoder work (~0.34 GFLOP/page/4-layers — still far below
+        # a MiniLM-class transformer's ~11 GFLOP/page) while staying
+        # deterministic and dependency-free.
+        embed_provider = None
+        if provider_name == "random-projection":
+            from semantic_entity_matching_spark.functions.embed import (
+                RandomProjectionEmbeddingProvider,
+            )
+
+            embed_provider = RandomProjectionEmbeddingProvider(
+                dim=1024, depth=rp_depth
+            )
         result = run_pipeline(
             pages,
             MatchConfig(embedding_dim=1024, quantization="int8"),
+            provider=embed_provider,
             checkpoint=CheckpointManager(cp_dir, spark),
             reporter=timer,
         )
@@ -280,7 +313,12 @@ def generate(input_dir: str, n_pages: int, words: int) -> int:
 
 
 def run_level(
-    execs: int, input_dir: str, local_cores: int | None = None, pin: bool = False
+    execs: int,
+    input_dir: str,
+    local_cores: int | None = None,
+    pin: bool = False,
+    provider: str = "token-hash",
+    rp_depth: int = 10,
 ) -> dict:
     cmd = [
         sys.executable,
@@ -290,6 +328,10 @@ def run_level(
         str(execs),
         "--input",
         input_dir,
+        "--provider",
+        provider,
+        "--rp-depth",
+        str(rp_depth),
     ]
     settle_vm()
     if local_cores:
@@ -357,6 +399,26 @@ def main() -> None:
     )
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument(
+        "--provider",
+        choices=["token-hash", "random-projection"],
+        default="token-hash",
+        help="embedding provider for the legs.  'token-hash' is the "
+        "lightweight deterministic stand-in (~2.5 ms/page); "
+        "'random-projection' is the production-weight random-encoder "
+        "(~2 ms/page/layer of real BLAS work — see --rp-depth) that "
+        "reproduces the embed-dominated workload mix of the reference's "
+        "model-backed pipeline.",
+    )
+    ap.add_argument(
+        "--rp-depth",
+        type=int,
+        default=10,
+        help="residual layers for --provider random-projection.  10 "
+        "(default) ≈ 20 ms/page ≈ 0.7 GFLOP/page — calibrated to the "
+        "LOW end of real sentence-embedder cost (a MiniLM-class "
+        "transformer is ~11 GFLOP per 256-token page, 15x heavier).",
+    )
+    ap.add_argument(
         "--repeats",
         type=int,
         default=1,
@@ -401,7 +463,13 @@ def main() -> None:
     LEG_TIMEOUT = args.leg_timeout
 
     if args.worker:
-        worker(args.execs, args.input, local_cores=args.local_cores)
+        worker(
+            args.execs,
+            args.input,
+            local_cores=args.local_cores,
+            provider_name=args.provider,
+            rp_depth=args.rp_depth,
+        )
         return
 
     input_dir = os.path.join(tempfile.gettempdir(), "scaling_bench_pages")
@@ -429,8 +497,18 @@ def main() -> None:
         low_runs: list[dict] = []
         high_runs: list[dict] = []
         for _ in range(args.repeats):
-            low_runs.append(run_level(1, input_dir, local_cores=n_cores, pin=True))
-            high_runs.append(run_level(1, input_dir, local_cores=m_cores, pin=True))
+            low_runs.append(
+                run_level(
+                    1, input_dir, local_cores=n_cores, pin=True,
+                    provider=args.provider, rp_depth=args.rp_depth,
+                )
+            )
+            high_runs.append(
+                run_level(
+                    1, input_dir, local_cores=m_cores, pin=True,
+                    provider=args.provider, rp_depth=args.rp_depth,
+                )
+            )
         low = median_leg(low_runs)
         high = median_leg(high_runs)
         ratio = m_cores / n_cores
@@ -449,6 +527,7 @@ def main() -> None:
                     "metric": f"scaling_efficiency_local{n_cores}_to_local{m_cores}",
                     "value": round(efficiency, 3),
                     "unit": "ratio",
+                    "provider": args.provider,
                     "rows": n,
                     "pairs_scored": pairs,
                     "stage_efficiency": stage_eff,
@@ -476,9 +555,19 @@ def main() -> None:
         pin_low = f"0-{EXEC_CORES - 1}" if args.pin else None
         pin_high = f"0-{EXEC_CORES * 4 - 1}" if args.pin else None
         restart_worker(pin_low)
-        low = median_leg([run_level(1, input_dir) for _ in range(args.repeats)])
+        low = median_leg(
+            [
+                run_level(1, input_dir, provider=args.provider, rp_depth=args.rp_depth)
+                for _ in range(args.repeats)
+            ]
+        )
         restart_worker(pin_high)
-        high = median_leg([run_level(4, input_dir) for _ in range(args.repeats)])
+        high = median_leg(
+            [
+                run_level(4, input_dir, provider=args.provider, rp_depth=args.rp_depth)
+                for _ in range(args.repeats)
+            ]
+        )
     finally:
         if not args.keep_cluster:
             stop_cluster(stop_master=started_master)
