@@ -1250,6 +1250,79 @@ def q55_bcubed_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_metrics(pred, gold)
 
 
+def q56_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level canonical-URL dedup: the same page captured under messy
+    URL variants (case-mangled scheme/host, userinfo, default ports,
+    trailing slashes, shuffled query params, utm_*/gclid tracking junk,
+    fragments) collapses to ONE canonical identity; the LATEST capture
+    (ts desc, doc_id asc tiebreak) survives.  URLs + capture ts are
+    synthesized deterministically from doc_id (identity key doc_id % 250,
+    mess keyed off doc_id itself) so both engines derive identical input
+    on every fixture.  All canonicalization steps are JVM regexp/array
+    built-ins (functions/urlops.py:canonical_url); one hash shuffle on
+    the canonical key."""
+    from semantic_entity_matching_spark.functions.urlops import (
+        canonical_url_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = d % 250
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("crawler:pw@")).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 0,
+            F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("SITE")).otherwise(F.lit("site")),
+        (k % 10).cast("string"),
+        F.lit("."),
+        F.when(k % 3 == 0, F.lit("com"))
+        .when(k % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("co.uk")),
+        F.when(k % 10 == 0, F.lit(":8080"))
+        .when(d % 3 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        k.cast("string"),
+        F.when(d % 6 == 0, F.lit("//"))
+        .when(d % 6 == 3, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("a="), (k % 7).cast("string"),
+                F.lit("&b="), (k % 3).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("b="), (k % 3).cast("string"),
+                F.lit("&a="), (k % 7).cast("string"),
+            )
+        ),
+        F.when(
+            d % 3 == 0, F.concat(F.lit("&utm_source=feed"), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.concat(F.lit("&gclid=g"), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 8 == 0, F.concat(F.lit("#sec"), d.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    ts = F.when(k % 11 == 0, F.lit(0)).otherwise(d % 7).cast("bigint")
+    pages = (
+        docs.select(d.alias("doc_id"))
+        .withColumn("url", url)
+        .withColumn("ts", ts)
+    )
+    out = canonical_url_dedup(pages, url_col="url", ts_col="ts", id_col="doc_id")
+    return out.select("doc_id", "canonical_url", "ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1307,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_dedup_survivors": q53_dedup_survivors,
         "q54_blocking_quality": q54_blocking_quality,
         "q55_bcubed_clustering": q55_bcubed_clustering,
+        "q56_canonical_url_dedup": q56_canonical_url_dedup,
     }
 
 
@@ -2814,6 +2888,101 @@ def oracle_sql() -> dict[str, str]:
                                / (sum(pc) / sum(i) + sum(rc) / sum(i))
                           ELSE 0.0 END, 6) AS bcubed_f1
         FROM per
+    """
+
+    # q56 — canonical-URL dedup: identical deterministic messy-URL synth
+    # (identity key doc_id % 250, mess keyed off doc_id), then the same
+    # component-wise canonicalization as functions/urlops.canonical_url
+    # (RE2-safe regexps; coalesce() because DuckDB's array_to_string of an
+    # empty list is NULL where Spark's array_join is ''), then
+    # latest-capture-wins per canonical key.
+    sql["q56_canonical_url_dedup"] = r"""
+        WITH pages AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                 || '://'
+                 || CASE WHEN doc_id % 5 = 0 THEN 'crawler:pw@' ELSE '' END
+                 || CASE WHEN (doc_id % 250) % 4 = 0
+                         THEN CASE WHEN doc_id % 4 = 0
+                                   THEN 'WWW.' ELSE 'www.' END
+                         ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN 'SITE' ELSE 'site' END
+                 || ((doc_id % 250) % 10) || '.'
+                 || CASE (doc_id % 250) % 3 WHEN 0 THEN 'com'
+                                            WHEN 1 THEN 'org'
+                                            ELSE 'co.uk' END
+                 || CASE WHEN (doc_id % 250) % 10 = 0 THEN ':8080'
+                         WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                 || '/p/' || (doc_id % 250)
+                 || CASE WHEN doc_id % 6 = 0 THEN '//'
+                         WHEN doc_id % 6 = 3 THEN '/' ELSE '' END
+                 || '?'
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN 'a=' || ((doc_id % 250) % 7)
+                              || '&b=' || ((doc_id % 250) % 3)
+                         ELSE 'b=' || ((doc_id % 250) % 3)
+                              || '&a=' || ((doc_id % 250) % 7) END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '&utm_source=feed' || doc_id ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN '&gclid=g' || doc_id ELSE '' END
+                 || CASE WHEN doc_id % 8 = 0
+                         THEN '#sec' || doc_id ELSE '' END AS url,
+                 CAST(CASE WHEN (doc_id % 250) % 11 = 0 THEN 0
+                           ELSE doc_id % 7 END AS BIGINT) AS ts
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, ts, regexp_replace(trim(url), '#.*$', '') AS u
+          FROM pages
+        ), s2 AS (
+          SELECT doc_id, ts,
+                 lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                 regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+          FROM s1
+        ), s3 AS (
+          SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth_raw,
+                 regexp_replace(rest, '^[^/?]*', '') AS pathq
+          FROM s2
+        ), s4 AS (
+          SELECT *,
+                 CASE WHEN scheme = 'http'
+                      THEN regexp_replace(lower(regexp_replace(auth_raw,
+                           '^[^@]*@', '')), ':80$', '')
+                      WHEN scheme = 'https'
+                      THEN regexp_replace(lower(regexp_replace(auth_raw,
+                           '^[^@]*@', '')), ':443$', '')
+                      ELSE lower(regexp_replace(auth_raw, '^[^@]*@', ''))
+                 END AS auth,
+                 regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+                 regexp_extract(pathq, '\?(.*)$', 1) AS query
+          FROM s3
+        ), s5 AS (
+          SELECT *,
+                 CASE WHEN regexp_replace(
+                          CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                          '/+$', '') = '' THEN '/'
+                      ELSE regexp_replace(
+                          CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                          '/+$', '') END AS path,
+                 coalesce(array_to_string(list_sort(list_filter(
+                     string_split(query, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref)(=|$)')
+                 )), '&'), '') AS qcanon
+          FROM s4
+        ), canon AS (
+          SELECT doc_id, ts,
+                 (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+                 || auth || path
+                 || (CASE WHEN qcanon = '' THEN ''
+                          ELSE '?' || qcanon END) AS canonical_url
+          FROM s5
+        )
+        SELECT doc_id, canonical_url, ts FROM canon
+        QUALIFY row_number() OVER (
+            PARTITION BY canonical_url
+            ORDER BY ts DESC, doc_id ASC) = 1
     """
 
     return sql

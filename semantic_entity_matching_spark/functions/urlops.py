@@ -72,6 +72,92 @@ def registered_domain(host_col: str | Column) -> Column:
     )
 
 
+# Query parameters that carry tracking state, not content identity: the
+# standard strip-set of crawl canonicalizers (utm_* per Google Analytics,
+# click ids, mailchimp ids).  Matching is on the parameter NAME only.
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref)(=|$)"
+)
+
+
+def canonical_url(col: str | Column) -> Column:
+    """Canonical form of a URL — the identity key for crawl-level dedup.
+
+    Deterministic, component-wise, all JVM ``regexp_*``/array built-ins
+    (no Python, whole-stage codegen; every step also exists in ANSI SQL /
+    RE2, so the DuckDB oracle reproduces it byte-for-byte):
+
+    1. strip the fragment (``#...``) — never part of the resource;
+    2. lowercase the scheme and the authority; drop userinfo;
+    3. drop the default port (``:80`` for http, ``:443`` for https);
+    4. collapse trailing slashes on the path (``/a/`` == ``/a``; the
+       bare root stays ``/``; an empty path becomes ``/``);
+    5. drop tracking query parameters (:data:`TRACKING_PARAM_PATTERN`)
+       and byte-sort the survivors (param order never changes identity).
+
+    NULL in -> NULL out.  A scheme-less input canonicalizes its
+    host/path/query the same way (no scheme is prepended).
+    """
+    u = F.regexp_replace(F.trim(_c(col)), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth_raw = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    auth = F.lower(F.regexp_replace(auth_raw, r"^[^@]*@", ""))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    stripped = F.regexp_replace(path, r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    params = F.filter(
+        F.split(query, r"&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(F.concat(scheme, F.lit("://"))),
+        auth,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
+
+
+def canonical_url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    id_col: str = "url",
+    canon_col: str = "canonical_url",
+) -> DataFrame:
+    """One row per canonical URL — the crawl convention: the LATEST capture
+    wins (``ts_col`` descending), ties broken by ``id_col`` ascending so
+    the survivor set is deterministic under any partitioning.
+
+    One hash shuffle on the canonical key + a per-key window.  Hot
+    canonical URLs (a page captured thousands of times) cost one reducer
+    each — the per-group state is a single row_number counter, so skew is
+    bounded by the hottest URL's capture count, orders of magnitude below
+    content-blocking skew.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(id_col).asc()]
+    if ts_col is not None:
+        order.insert(0, F.col(ts_col).desc_nulls_last())
+    w = Window.partitionBy(canon_col).orderBy(*order)
+    return (
+        df.withColumn(canon_col, canonical_url(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def with_host_columns(
     df: DataFrame, url_col: str = "url",
     host_col: str = "host", domain_col: str = "domain",

@@ -184,3 +184,49 @@ def test_gopher_quality_flags(spark):
     assert got[2]["ok_2gram"] == 0 and got[2]["passes"] == 0
     assert got[2]["ok_stopwords"] == 0
     assert got[3]["ok_word_count"] == 0 and got[3]["passes"] == 0
+
+
+def test_canonical_url(spark):
+    from semantic_entity_matching_spark.functions.urlops import canonical_url
+
+    cases = [
+        ("HTTPS://User@WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://www.example.com/a/b?a=1&b=2"),
+        ("http://site.co.uk:80/", "http://site.co.uk/"),
+        ("http://site.co.uk:8080/p//", "http://site.co.uk:8080/p"),
+        ("example.com/x?gclid=1&z=9", "example.com/x?z=9"),
+        ("https://h.org", "https://h.org/"),
+        (None, None),
+        ("  https://h.org/a?  ", "https://h.org/a"),
+        ("https://h.org/a?b=2&b=1&utm_campaign&ref=x", "https://h.org/a?b=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    for (u, want), c in zip(cases, got):
+        assert c == want, (u, c, want)
+
+
+def test_canonical_url_dedup(spark):
+    from semantic_entity_matching_spark.functions.urlops import (
+        canonical_url_dedup,
+    )
+
+    rows = [
+        # three captures of one resource: latest ts wins
+        (1, "https://A.com/x?utm_source=1", 10),
+        (2, "https://a.com/x/#frag", 30),
+        (3, "https://a.com:443/x", 20),
+        # tie on ts -> smallest id wins
+        (4, "http://b.org/p?z=1&a=2", 5),
+        (5, "http://b.org/p?a=2&z=1", 5),
+        # distinct resource (non-default port)
+        (6, "http://b.org:8080/p?a=2&z=1", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts long")
+    out = canonical_url_dedup(df, url_col="url", ts_col="ts", id_col="doc_id")
+    kept = {r["doc_id"]: r["canonical_url"] for r in out.collect()}
+    assert kept == {
+        2: "https://a.com/x",
+        4: "http://b.org/p?a=2&z=1",
+        6: "http://b.org:8080/p?a=2&z=1",
+    }
