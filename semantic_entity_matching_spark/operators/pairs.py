@@ -42,6 +42,15 @@ class PairGenConfig:
     n_salts: int = 8
 
 
+def block_sizes(blocks: DataFrame, id_col: str = "url") -> DataFrame:
+    """(block_key, block_size) — one row per key.  Callers that need both
+    the candidate pairs and the dropped-blocks audit should compute this
+    ONCE, ``persist()`` it, and pass it to both (run_pipeline does): the
+    aggregate is a full exchange of the block table otherwise paid twice.
+    """
+    return blocks.groupBy("block_key").agg(F.count(id_col).alias("block_size"))
+
+
 def generate_candidate_pairs(
     blocks: DataFrame,
     id_col: str = "url",
@@ -49,6 +58,7 @@ def generate_candidate_pairs(
     annotations: DataFrame | None = None,
     pair_filter=None,
     keep_block_key: bool = True,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """blocks(id, block_key) -> pairs(id_a, id_b[, block_key]) deduped.
 
@@ -73,15 +83,27 @@ def generate_candidate_pairs(
     """
     cfg = config or PairGenConfig()
 
-    sizes = blocks.groupBy("block_key").agg(F.count(id_col).alias("block_size"))
+    if sizes is None:
+        sizes = block_sizes(blocks, id_col)
     # block sizes are one row per key — tiny vs the corpus; broadcast so the
     # size-annotation join costs no shuffle of the big side.
     annotated = blocks.join(F.broadcast(sizes), "block_key").where(
         F.col("block_size") <= cfg.max_block_size
     )
 
-    cold = annotated.where(F.col("block_size") <= cfg.hot_block_threshold)
-    hot = annotated.where(F.col("block_size") > cfg.hot_block_threshold)
+    # Per-key DYNAMIC salt count: 1 for cold keys, n_salts for hot ones.
+    # Cold and hot keys then go through ONE self-join on (block_key, _salt)
+    # — a cold key's rows all carry _salt=0 on both sides, so its block
+    # lands on one reducer exactly as an unsalted join would, while a hot
+    # key fans out over n_salts reducers.  The earlier cold/hot formulation
+    # ran TWO separate self-joins (four side exchanges + a union); this one
+    # halves the exchange count for identical output.
+    annotated = annotated.withColumn(
+        "_nsalts",
+        F.when(
+            F.col("block_size") > cfg.hot_block_threshold, F.lit(cfg.n_salts)
+        ).otherwise(F.lit(1)),
+    )
 
     extra_cols = (
         [c for c in annotations.columns if c != id_col] if annotations is not None
@@ -91,38 +113,32 @@ def generate_candidate_pairs(
     def side_cols(suffix: str):
         return [F.col(c).alias(f"{c}_{suffix}") for c in extra_cols]
 
-    def with_ann(side: DataFrame) -> DataFrame:
-        if annotations is None:
-            return side
-        return side.join(annotations, id_col)
-
-    def self_join(side: DataFrame, salted: bool) -> DataFrame:
-        side = with_ann(side)
-        left = side.select(
-            F.col("block_key"), F.col(id_col).alias("id_a"), *side_cols("a")
-        )
-        right = side.select(
-            F.col("block_key"), F.col(id_col).alias("id_b"), *side_cols("b")
-        )
-        if salted:
-            # left row keeps its own salt; right row is replicated to every
-            # salt — each unordered pair meets exactly once under the
-            # (id_a < id_b) filter below.
-            left = left.withColumn(
-                "_salt", F.pmod(F.xxhash64("id_a"), F.lit(cfg.n_salts)).cast("int")
-            )
-            right = right.withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.n_salts - 1)))
-            )
-            joined = left.join(right, ["block_key", "_salt"]).drop("_salt")
-        else:
-            joined = left.join(right, "block_key")
-        joined = joined.where(F.col("id_a") < F.col("id_b"))
-        if pair_filter is not None:
-            joined = joined.where(pair_filter)
-        return joined.select("block_key", "id_a", "id_b")
-
-    pairs = self_join(cold, salted=False).unionByName(self_join(hot, salted=True))
+    side = annotated if annotations is None else annotated.join(annotations, id_col)
+    # left row keeps its own salt; right row is replicated to every salt of
+    # its key — each unordered pair meets exactly once under the
+    # (id_a < id_b) filter below.
+    left = side.select(
+        F.col("block_key"),
+        F.col(id_col).alias("id_a"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsalts")).cast("int").alias(
+            "_salt"
+        ),
+        *side_cols("a"),
+    )
+    right = side.select(
+        F.col("block_key"),
+        F.col(id_col).alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_nsalts") - 1)).alias("_salt"),
+        *side_cols("b"),
+    )
+    pairs = (
+        left.join(right, ["block_key", "_salt"])
+        .drop("_salt")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    pairs = pairs.select("block_key", "id_a", "id_b")
     if not keep_block_key:
         return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     # min(block_key) — deterministic representative key for "same blocking
@@ -134,13 +150,19 @@ def generate_candidate_pairs(
 
 
 def dropped_blocks_audit(
-    blocks: DataFrame, id_col: str = "url", config: PairGenConfig | None = None
+    blocks: DataFrame,
+    id_col: str = "url",
+    config: PairGenConfig | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Keys excluded by the block-size cap, with sizes (no silent caps)."""
+    """Keys excluded by the block-size cap, with sizes (no silent caps).
+
+    Pass the persisted :func:`block_sizes` table to share the aggregate
+    with :func:`generate_candidate_pairs` instead of re-scanning blocks.
+    """
     cfg = config or PairGenConfig()
-    return (
-        blocks.groupBy("block_key")
-        .agg(F.count(id_col).alias("block_size"))
-        .where(F.col("block_size") > cfg.max_block_size)
-        .orderBy(F.desc("block_size"))
+    if sizes is None:
+        sizes = block_sizes(blocks, id_col)
+    return sizes.where(F.col("block_size") > cfg.max_block_size).orderBy(
+        F.desc("block_size")
     )

@@ -409,17 +409,28 @@ def run_pipeline(
         counters["sn_short_keyed"] = n_short
         if checkpoint is not None:
             checkpoint.add_counter("sn_short_keyed", n_short)
+    # ONE block-sizes aggregate feeds both the pair generator's cap/salt
+    # logic and the dropped-blocks audit below: persisted so the audit
+    # count reuses the exchange instead of re-aggregating the block table.
+    from semantic_entity_matching_spark.operators.pairs import (
+        block_sizes,
+        dropped_blocks_audit,
+    )
+
+    sizes = block_sizes(blocks, config.id_col).persist()
     pairs = stage(
         "pairs",
-        lambda: generate_candidate_pairs(blocks, config.id_col, config.pairgen),
+        lambda: generate_candidate_pairs(
+            blocks, config.id_col, config.pairgen, sizes=sizes
+        ),
         "pairs_generated",
     )
     # the block-size cap must never be a silent cap (north_rule audit):
-    # surface the number of dropped keys with every run's counters.  One
-    # cheap aggregate over the (already materialized) block-key table.
-    from semantic_entity_matching_spark.operators.pairs import dropped_blocks_audit
-
-    n_dropped = dropped_blocks_audit(blocks, config.id_col, config.pairgen).count()
+    # surface the number of dropped keys with every run's counters.
+    n_dropped = dropped_blocks_audit(
+        blocks, config.id_col, config.pairgen, sizes=sizes
+    ).count()
+    sizes.unpersist()
     counters["blocks_dropped"] = n_dropped
     if checkpoint is not None:
         checkpoint.add_counter("blocks_dropped", n_dropped)
