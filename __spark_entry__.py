@@ -1323,6 +1323,42 @@ def q56_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_url", "ts")
 
 
+def q57_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode web-text normalization: deterministically injected crawl
+    junk (combining accent sequence, zero-width chars, CRLF, a BEL
+    control, NBSP runs, tab soup) is cleaned by functions/textops.py
+    normalize_text — zero-width/control strips and whitespace collapse
+    as JVM regexps, NFC composition as the one pandas-UDF step (Spark
+    has no JVM normalize builtin; DuckDB twin is nfc_normalize).  NULL
+    text stays NULL; chars_removed audits the cleanup per doc."""
+    from semantic_entity_matching_spark.functions.textops import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    junked = F.concat(
+        F.lit("Caf"),
+        F.lit("e\u0301"),            # e + combining acute -> NFC é
+        F.lit("\u200b"),             # ZWSP
+        F.when(d % 4 == 0, F.lit("\u200d")).otherwise(F.lit("")),  # ZWJ
+        F.lit(" \u00a0 menu\r\n"),   # NBSP run + CRLF
+        F.when(d % 2 == 0, F.lit("\x07")).otherwise(F.lit("")),    # BEL
+        F.lit("\t \t"),
+        F.col("text"),               # null text -> whole concat null
+        F.lit("  "),
+    )
+    docs = docs.withColumn("text2", junked)
+    clean = normalize_text(F.col("text2"))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length("text2") - F.length(clean)).cast("bigint").alias(
+            "chars_removed"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1381,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_blocking_quality": q54_blocking_quality,
         "q55_bcubed_clustering": q55_bcubed_clustering,
         "q56_canonical_url_dedup": q56_canonical_url_dedup,
+        "q57_normalize_text": q57_normalize_text,
     }
 
 
@@ -2983,6 +3020,43 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY canonical_url
             ORDER BY ts DESC, doc_id ASC) = 1
+    """
+
+    # q57 — unicode normalization: identical junk injection (chr() keeps
+    # the SQL printable), then the same strip/NFC/collapse chain as
+    # normalize_text.  RE2 needs \x{...} for codepoints >= 0x80; DuckDB's
+    # nfc_normalize is the NFC twin of the pandas-UDF step.
+    sql["q57_normalize_text"] = r"""
+        WITH junked AS (
+          SELECT doc_id,
+                 'Caf' || 'e' || chr(769) || chr(8203)
+                 || CASE WHEN doc_id % 4 = 0 THEN chr(8205) ELSE '' END
+                 || ' ' || chr(160) || ' menu' || chr(13) || chr(10)
+                 || CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END
+                 || chr(9) || ' ' || chr(9)
+                 || text
+                 || '  ' AS text2
+          FROM documents
+        ), cleaned AS (
+          SELECT doc_id, text2,
+            trim(regexp_replace(
+              regexp_replace(
+                nfc_normalize(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text2,
+                        '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+                      '\r\n?', chr(10), 'g'),
+                    '[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}-\x{9f}]',
+                    '', 'g')),
+                '[ \t\x{a0}]+', ' ', 'g'),
+              ' ?\n ?', chr(10), 'g')) AS clean_text
+          FROM junked
+        )
+        SELECT doc_id, clean_text,
+               CAST(length(text2) - length(clean_text) AS BIGINT)
+                 AS chars_removed
+        FROM cleaned
     """
 
     return sql

@@ -10,6 +10,7 @@ fingerprinting (rolling hash), char/byte stats.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -605,3 +606,70 @@ def top_ngrams(
         "n_docs",
         "n_occurrences",
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (web-corpus cleaning)
+# ---------------------------------------------------------------------------
+
+# zero-width characters that survive crawling (ZWSP/ZWNJ/ZWJ/BOM) and the
+# C0/C1 control ranges minus \t \n (kept: document structure)
+_ZERO_WIDTH_RE = "[\u200b\u200c\u200d\ufeff]"
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
+
+
+def nfc_udf():
+    """Arrow-batched pandas UDF applying Unicode NFC composition.
+
+    Spark has no JVM normalization builtin; Python's ``unicodedata.
+    normalize`` is the stdlib's C implementation — this is the one
+    genuinely non-Column step of :func:`normalize_text`.  DuckDB twin:
+    ``nfc_normalize``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc
+
+
+def normalize_text(
+    col: str | Column,
+    nfc: bool = True,
+    strip_zero_width: bool = True,
+    strip_controls: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Canonical text cleanup for crawled pages:
+
+    1. drop zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) — invisible, they break
+       tokenization and dedup fingerprints;
+    2. drop C0/C1 controls except tab/newline; CRLF/CR -> LF;
+    3. Unicode NFC composition (combining sequences -> precomposed, so
+       ``e`` + U+0301 and a precomposed é fingerprint identically) —
+       pandas UDF, the only non-JVM step, applied AFTER the strips so
+       the Python stage sees already-shortened strings;
+    4. collapse horizontal whitespace runs (incl. NBSP) to one space,
+       trim around newlines and at the ends.
+
+    Every step independently toggleable; NULL in -> NULL out.  The strips
+    and collapses are JVM regexps (codegen, scan speed).  DuckDB twin
+    (q57): the same regexp chain around ``nfc_normalize``.
+    """
+    c = _c(col)
+    if strip_zero_width:
+        c = F.regexp_replace(c, _ZERO_WIDTH_RE, "")
+    if strip_controls:
+        c = F.regexp_replace(F.regexp_replace(c, "\r\n?", "\n"), _CONTROL_RE, "")
+    if nfc:
+        c = nfc_udf()(c)
+    if collapse_whitespace:
+        c = F.regexp_replace(c, "[ \t\u00a0]+", " ")
+        c = F.trim(F.regexp_replace(c, " ?\n ?", "\n"))
+    return c

@@ -134,3 +134,33 @@ def test_chunk_documents(spark):
     assert got[(1, 1)][1].split()[-1] == got[(1, 2)][1].split()[0]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_normalize_text(spark):
+    from semantic_entity_matching_spark.functions.textops import normalize_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "Caf" + "é" + "​" + "    menu\r\nok\x07 end  "),
+        ("b", None),
+        ("c", "﻿plain\ttext"),
+    ]
+    df = spark.createDataFrame(rows, "id string, t string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", normalize_text("t").alias("c")).collect()
+    }
+    assert got["a"] == "Café menu\nok end"   # NFC composed, junk gone
+    assert got["b"] is None
+    assert got["c"] == "plain text"
+
+    # toggles: nothing but NFC
+    got2 = df.select(
+        "id",
+        normalize_text(
+            "t", strip_zero_width=False, strip_controls=False,
+            collapse_whitespace=False,
+        ).alias("c"),
+    ).collect()
+    by = {r["id"]: r["c"] for r in got2}
+    assert "é" in by["a"] and "​" in by["a"] and "\r" in by["a"]
