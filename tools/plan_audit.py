@@ -233,6 +233,35 @@ def main() -> None:
         else "rangepartitioning exchange present — global sort leaked in",
     )
 
+    # 10. candidate-pair generation is ONE fused self-join: the per-key
+    # dynamic salt count routes cold and hot keys through a single
+    # (block_key, _salt) join — the plan must contain NO Union node (the
+    # signature of the old two-branch cold/hot formulation) and exactly
+    # one join of the block table with itself.
+    from semantic_entity_matching_spark.operators.pairs import (
+        PairGenConfig,
+        generate_candidate_pairs,
+    )
+
+    blocks_df = docs.selectExpr(
+        "doc_id AS id", "substring(lower(text), 1, 8) AS block_key"
+    ).where("block_key IS NOT NULL AND block_key <> ''")
+    e_pr = explained_of(
+        generate_candidate_pairs(
+            blocks_df, id_col="id", config=PairGenConfig(), keep_block_key=False
+        )
+    )
+    n_joins = e_pr.count("SortMergeJoin") + e_pr.count("ShuffledHashJoin")
+    no_union = "Union" not in e_pr
+    check(
+        "pairgen_single_fused_join",
+        no_union and n_joins <= 1,
+        f"no Union, shuffle self-joins x{n_joins}"
+        if no_union and n_joins <= 1
+        else f"union={not no_union} shuffle_joins={n_joins} — cold/hot "
+        "branches have un-fused",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
