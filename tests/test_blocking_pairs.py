@@ -115,6 +115,30 @@ def test_candidate_pairs_salting_is_lossless(spark):
     assert a == b and len(a) == 30 * 29 // 2
 
 
+def test_candidate_pairs_mixed_hot_cold_one_join(spark):
+    """The fused dynamic-salt path: one call carrying a hot block (salted
+    n ways) AND cold blocks (salt count 1) must emit exactly the quadratic
+    pair set of each block, each unordered pair exactly once — including a
+    pair reachable through both a hot and a cold key."""
+    members = (
+        [("hotk", f"u{i:02d}") for i in range(12)]       # hot: 12 > threshold
+        + [("coldk", "u00"), ("coldk", "u01"), ("coldk", "x9")]  # cold
+        + [("solo", "z1")]
+    )
+    blocks = spark.createDataFrame(members, "block_key string, url string")
+    pairs = generate_candidate_pairs(
+        blocks,
+        config=PairGenConfig(hot_block_threshold=5, n_salts=4),
+        keep_block_key=False,
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    want = {
+        (f"u{i:02d}", f"u{j:02d}") for i in range(12) for j in range(i + 1, 12)
+    }
+    want |= {("u00", "x9"), ("u01", "x9")}  # cold-only pairs
+    assert got == sorted(want)  # sorted-list compare also proves no dups
+
+
 def test_block_cap_drops_mega_blocks(spark):
     members = [("boiler", f"u{i:04d}") for i in range(50)] + [("ok", "a"), ("ok", "b")]
     blocks = spark.createDataFrame(members, "block_key string, url string")
