@@ -380,6 +380,7 @@ def main() -> None:
     global EXEC_CORES, SETTLE, LEG_TIMEOUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--generate-only", action="store_true")
     ap.add_argument("--execs", type=int, default=1)
     ap.add_argument("--input", type=str, default="")
     ap.add_argument("--pages", type=int, default=60000)
@@ -472,9 +473,23 @@ def main() -> None:
         )
         return
 
+    if args.generate_only:
+        n = generate(args.input, args.pages, args.words)
+        print(f"generated {n} pages at {args.input}", file=sys.stderr)
+        return
+
     input_dir = os.path.join(tempfile.gettempdir(), "scaling_bench_pages")
-    n = generate(input_dir, args.pages, args.words)
-    print(f"generated {n} pages at {input_dir}", file=sys.stderr)
+    # generate in a SUBPROCESS: the local[32] generation JVM (32g max heap)
+    # otherwise stays attached to this parent for the whole sweep — idle,
+    # but holding heap and /dev/shm shuffle dirs while the pinned legs run
+    subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__), "--generate-only",
+            "--input", input_dir,
+            "--pages", str(args.pages), "--words", str(args.words),
+        ],
+        check=True,
+    )
 
     def median_leg(runs: list[dict]) -> dict:
         # keep the run with the median total time (its stage_seconds stay
@@ -528,7 +543,7 @@ def main() -> None:
                     "value": round(efficiency, 3),
                     "unit": "ratio",
                     "provider": args.provider,
-                    "rows": n,
+                    "rows": low["rows"],
                     "pairs_scored": pairs,
                     "stage_efficiency": stage_eff,
                     f"stage_seconds_local{n_cores}": low.get("stage_seconds", {}),
@@ -587,7 +602,7 @@ def main() -> None:
                 "metric": f"scaling_efficiency_1_to_4_executors_x{EXEC_CORES}cores",
                 "value": round(efficiency, 3),
                 "unit": "ratio",
-                "rows": n,
+                "rows": low["rows"],
                 "pairs_scored": pairs,
                 "stage_efficiency_1_to_4": stage_eff,
                 "stage_seconds_1x8": low.get("stage_seconds", {}),
