@@ -1359,6 +1359,94 @@ def q57_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic synthetic `html` column (markup built
+    from doc_id/text alone — reproducible in ANSI SQL, runs on every
+    fixture): head with an entity-bearing title, a style block, a script
+    whose body contains a bare `<` and fake tags, an HTML comment hiding
+    tags, the doc text in a <p>, an entity-rich div on every 5th doc, two
+    absolute outlinks (the second only on every 3rd doc, to a two-part-
+    suffix domain) and a relative link — exactly the junk strip_html /
+    extract_links must survive."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    link_a = F.concat(
+        F.lit("https://site"), ((d * 7 + 3) % 10).cast("string"),
+        F.lit(".com/p/"), (d + 1).cast("string"),
+    )
+    link_b = F.concat(
+        F.lit("https://www.site"), ((d * 5 + 1) % 10).cast("string"),
+        F.lit(".co.uk/q/"), d.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title> Doc "), d.cast("string"),
+        F.lit(" &amp; Friends </title><style>body .adv-x red</style>"
+              "</head><body>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2; '
+              "// <p>not text</p></script>"),
+        F.lit("<!-- crawl note <div>skip me</div> -->"),
+        F.lit('<p class="main">'), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>"),
+        F.when(d % 5 == 0, F.lit("<div>extra &lt;markup&gt;&nbsp;here</div>"))
+        .otherwise(F.lit("")),
+        F.lit('<a href="'), link_a, F.lit('">first</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('<a href="'), link_b, F.lit('">second</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/rel/'), d.cast("string"),
+        F.lit('">relative</a></body></html>'),
+    )
+    return docs.withColumn("html", html)
+
+
+def q58_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the step upstream of every webtext
+    operator): drop head, remove script/style bodies BEFORE the generic
+    tag strip (they legally contain bare `<`), strip comments and tags,
+    decode entities (&amp; last, so &amp;lt; yields literal &lt;),
+    collapse whitespace; title pulled separately.  All JVM regexp/replace
+    Column exprs, RE2-portable — the DuckDB twin runs the same patterns."""
+    from semantic_entity_matching_spark.functions.htmlops import (
+        html_title,
+        strip_html,
+    )
+
+    pages = _docs_with_html(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        html_title("html").alias("title"),
+        strip_html("html").alias("text_clean"),
+    )
+
+
+def q59_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus link graph in-degree per registered target domain: href
+    extraction (double-quoted, document order), absolute-http(s) filter
+    (the relative link every page carries is dropped), host -> registered
+    domain (two-part suffix aware), then a (domain, source) pre-aggregate
+    so distinct-source counting never expands the raw anchor table."""
+    from semantic_entity_matching_spark.functions.htmlops import (
+        outlink_domains,
+    )
+
+    pages = _docs_with_html(spark, sf_dir)
+    return outlink_domains(pages, html_col="html", id_col="doc_id")
+
+
+def q60_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DF/IDF vocabulary: top-25 tokens by document frequency with
+    sklearn smooth idf = ln((1+N)/(1+df)) + 1, deterministic (df desc,
+    token asc) tiebreak.  Per-doc array_distinct collapses repeats before
+    the explode; the top-k is a TakeOrdered, never a global sort."""
+    from semantic_entity_matching_spark.functions.textops import (
+        document_frequency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return document_frequency(docs, id_col="doc_id", text_col="text", k=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1418,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_bcubed_clustering": q55_bcubed_clustering,
         "q56_canonical_url_dedup": q56_canonical_url_dedup,
         "q57_normalize_text": q57_normalize_text,
+        "q58_html_extract": q58_html_extract,
+        "q59_outlink_domains": q59_outlink_domains,
+        "q60_document_frequency": q60_document_frequency,
     }
 
 
@@ -3057,6 +3148,127 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(text2) - length(clean_text) AS BIGINT)
                  AS chars_removed
         FROM cleaned
+    """
+
+    # ------------------------------------------------------------------
+    # q58/q59 — HTML extraction + outlink graph over the deterministic
+    # synthetic page markup (same construction as _docs_with_html); the
+    # strip/extract regexes are RE2-portable and run verbatim here.
+    # ------------------------------------------------------------------
+    _html_cte = """
+        pages AS (
+          SELECT doc_id,
+                 '<html><head><title> Doc ' || doc_id
+                 || ' &amp; Friends </title><style>body .adv-x red</style></head><body>'
+                 || '<script type="text/javascript">var x = 1 < 2; // <p>not text</p></script>'
+                 || '<!-- crawl note <div>skip me</div> -->'
+                 || '<p class="main">' || coalesce(text, '') || '</p>'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '<div>extra &lt;markup&gt;&nbsp;here</div>'
+                         ELSE '' END
+                 || '<a href="https://site' || ((doc_id * 7 + 3) % 10)
+                 || '.com/p/' || (doc_id + 1) || '">first</a>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<a href="https://www.site'
+                              || ((doc_id * 5 + 1) % 10)
+                              || '.co.uk/q/' || doc_id || '">second</a>'
+                         ELSE '' END
+                 || '<a href="/rel/' || doc_id || '">relative</a></body></html>'
+                   AS html
+          FROM documents
+        )
+    """
+
+    def _decoded_collapsed(expr: str) -> str:
+        # entity decode chain (&amp; last, matching htmlops._ENTITIES)
+        # + whitespace collapse + trim
+        s = expr
+        for ent, ch in (
+            ("&lt;", "'<'"),
+            ("&gt;", "'>'"),
+            ("&quot;", "'\"'"),
+            ("&#39;", "chr(39)"),
+            ("&apos;", "chr(39)"),
+            ("&nbsp;", "' '"),
+            ("&amp;", "'&'"),
+        ):
+            s = f"replace({s}, '{ent}', {ch})"
+        return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+    sql["q58_html_extract"] = f"""
+        WITH {_html_cte}, stripped AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(html,
+                     '(?is)<head\\b[^>]*>.*?</head\\s*>', ' ', 'g'),
+                     '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g') AS body_raw,
+                 regexp_extract(html,
+                     '(?is)<title\\b[^>]*>(.*?)</title\\s*>', 1) AS title_raw
+          FROM pages
+        )
+        SELECT doc_id,
+               {_decoded_collapsed("title_raw")} AS title,
+               {_decoded_collapsed("body_raw")} AS text_clean
+        FROM stripped
+    """
+
+    sql["q59_outlink_domains"] = f"""
+        WITH {_html_cte}, links AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_extract_all(html,
+                   '(?i)\\bhref\\s*=\\s*"([^"]*)"', 1), x -> x <> ''))
+                   AS link
+          FROM pages
+        ), abs_links AS (
+          SELECT doc_id, link FROM links
+          WHERE regexp_matches(link, '(?i)^https?://')
+        ), hosted AS (
+          SELECT doc_id,
+                 lower(regexp_extract(link, '://(?:[^@/]*@)?([^:/?#]*)', 1))
+                   AS host
+          FROM abs_links
+        ), dom AS (
+          SELECT doc_id,
+                 CASE WHEN host IS NULL OR len(p) <= 1 THEN host
+                      WHEN len(p) >= 3
+                           AND (p[-2] || '.' || p[-1]) IN ({_suffix_in})
+                        THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                      ELSE p[-2] || '.' || p[-1] END AS domain
+          FROM (SELECT *, string_split(host, '.') AS p FROM hosted)
+        )
+        SELECT domain,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_source_pages,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM dom GROUP BY domain
+    """
+
+    # q60 — DF/IDF vocabulary: distinct tokens per doc, smooth idf,
+    # deterministic (df desc, token asc) top-25.
+    sql["q60_document_frequency"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS t
+          FROM documents WHERE text IS NOT NULL
+        ), n AS (SELECT count(*) AS c FROM base),
+        tok AS (SELECT unnest(t) AS token FROM base),
+        dfreq AS (
+          SELECT token, count(*) AS doc_freq FROM tok GROUP BY token
+        ), ranked AS (
+          SELECT row_number() OVER (
+                   ORDER BY doc_freq DESC, token ASC) AS rank,
+                 token, doc_freq
+          FROM dfreq
+        )
+        SELECT CAST(rank AS INT) AS rank, token,
+               CAST(doc_freq AS BIGINT) AS doc_freq,
+               round(ln((1.0 + (SELECT c FROM n)) / (1.0 + doc_freq)) + 1.0, 6)
+                 AS idf
+        FROM ranked WHERE rank <= 25
     """
 
     return sql

@@ -608,6 +608,58 @@ def top_ngrams(
     )
 
 
+def document_frequency(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    n_docs: int | None = None,
+):
+    """Top-``k`` tokens by document frequency with smoothed IDF:
+
+    -> (rank 1-based, token, doc_freq, idf), ``k`` rows,
+    ``idf = ln((1 + N) / (1 + doc_freq)) + 1`` (the sklearn smooth-idf
+    convention), rounded to 6 dp; deterministic tiebreak (doc_freq desc,
+    token asc).
+
+    The corpus-vocabulary companion of :func:`top_ngrams`: DF/IDF tables
+    drive stopword discovery and BM25/TF-IDF weighting.  Scale shape:
+    per-doc ``array_distinct`` collapses in-doc repeats BEFORE the
+    explode, so the exchange carries at most one (token, doc) row per
+    distinct token per doc and partial aggregation folds those map-side;
+    the top-k is a ``TakeOrdered``, never a global sort.  ``N`` (docs
+    with text) is one scalar aggregate — pass ``n_docs`` to skip it when
+    the caller already knows the corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.where(F.col(text_col).isNotNull())
+    if n_docs is None:
+        n_docs = base.count()
+    toks = F.array_distinct(
+        F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    )
+    dfreq = (
+        base.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    )
+    top = dfreq.orderBy(
+        F.col("doc_freq").desc(), F.col("token").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "doc_freq",
+        F.round(
+            F.log((1.0 + n_docs) / (F.col("doc_freq") + 1.0)) + 1.0, 6
+        ).alias("idf"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # unicode normalization (web-corpus cleaning)
 # ---------------------------------------------------------------------------
