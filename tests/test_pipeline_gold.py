@@ -43,6 +43,26 @@ def test_gold_pair_f1(spark, corpus):
     )
 
 
+@pytest.mark.parametrize("seed", [13, 99])
+def test_gold_pair_f1_seed_sweep(spark, seed):
+    """F1 >= 0.99 must hold beyond the fixture seed — a single-seed pass
+    has hidden recall bugs before (leading-token-swap variants missed by
+    char-shingle LSH).  Seeds 7/42 are pinned elsewhere; this sweeps the
+    remaining verify-recipe seeds on a smaller corpus."""
+    pages, gold = synth_webpages(
+        spark,
+        SynthConfig(n_entities=30, seed=seed, hot_boilerplate_rows=15,
+                    null_text_rows=3),
+    )
+    pages = pages.cache()
+    result = run_pipeline(pages, MatchConfig())
+    m = pairwise_metrics(predicted_pairs_from_clusters(result.clusters), gold)
+    pages.unpersist()
+    assert m.f1 >= 0.99, (
+        f"seed={seed} F1={m.f1:.4f} (p={m.precision:.4f} r={m.recall:.4f})"
+    )
+
+
 @pytest.mark.parametrize("scheme", ["int8", "binary"])
 def test_quantized_prescoring_preserves_clusters(spark, corpus, scheme):
     """MatchConfig(quantization=...) shrinks the pair-join payload but must
