@@ -262,6 +262,33 @@ def main() -> None:
         "branches have un-fused",
     )
 
+    # 11. HTML extraction + outlink graph stay fully JVM: strip/entity/
+    # href regexps are codegen Column exprs — a Python eval node here
+    # would put a per-row interpreter in the hottest webtext path; the
+    # DF/IDF top-k must be a TakeOrdered (per-partition heap), never a
+    # global Sort of the token table.
+    e_html = explained_of(E.q58_html_extract(spark, SF))
+    e_out = explained_of(E.q59_outlink_domains(spark, SF))
+    no_py = all(
+        "evalpython" not in e for e in (e_html.lower(), e_out.lower())
+    )
+    check(
+        "htmlops_jvm_only",
+        no_py,
+        "no Python eval nodes in q58/q59 plans"
+        if no_py
+        else "Python eval node leaked into the HTML strip/outlink path",
+    )
+    e_df = explained_of(E.q60_document_frequency(spark, SF))
+    ok_dfidf = "TakeOrderedAndProject" in e_df
+    check(
+        "dfidf_takeordered_topk",
+        ok_dfidf,
+        "top-k is TakeOrderedAndProject"
+        if ok_dfidf
+        else "q60 top-k is not a TakeOrdered — global sort leaked in",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
