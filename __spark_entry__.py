@@ -1447,6 +1447,89 @@ def q60_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_frequency(docs, id_col="doc_id", text_col="text", k=25)
 
 
+def q61_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel scan (S2, reference lib/data_reader.py:51-69) through the
+    stdlib SpreadsheetML parser (openpyxl absent here) over the committed
+    fixture, with the reference's skip/limit resume semantics (skip 3
+    data rows after the header, cap at 20).  The fixture exercises shared
+    strings, inlineStr cells, int/float numerics, booleans and non-ASCII;
+    the oracle reads the byte-identical CSV twin (q35 pattern — DuckDB
+    has no xlsx reader)."""
+    from semantic_entity_matching_spark.sources.readers import read_excel
+
+    df = read_excel(
+        spark, "/root/repo/fixtures/q61_catalog.xlsx",
+        skip_rows=3, limit_rows=20,
+    )
+    return df.select(
+        F.col("row_id").cast("bigint").alias("row_id"),
+        "name",
+        "city",
+        F.col("qty").cast("bigint").alias("qty"),
+        F.round("price", 6).alias("price"),
+        F.col("active").cast("int").alias("active"),
+    )
+
+
+def _docs_with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> a synthetic media table (media_id, media_type,
+    payload:binary, duration_ms) built from doc_id/text alone: payload is
+    the UTF-8 text bytes (NULL text -> NULL payload), types cycle
+    video/image/audio, durations derive from doc_id — every column the
+    multimodal plumbing needs, reproducible in ANSI SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("m"), d.cast("string")).alias("media_id"),
+        F.when(d % 3 == 0, F.lit("video"))
+        .when(d % 3 == 1, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ((d % 7 + 1) * 2500).cast("int").alias("duration_ms"),
+    )
+
+
+def q62_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction contract: the mapInPandas decode ->
+    mean-pool plumbing (byte-budgeted Arrow chunks, only the small
+    feature vector crosses back) run with the deterministic fake decoder
+    (md5-tiled 8x8 RGB — the real decoder needs Pillow and stays honestly
+    stubbed).  Bucket k mean-pools 3 consecutive tiled-digest bytes;
+    returning round(val*3) recovers the exact integer byte sum, so the
+    DuckDB twin reproduces it bit-exactly via the md5 nibble-fold.  NULL
+    payloads yield zero features (the operator's null contract)."""
+    from semantic_entity_matching_spark.operators.multimodal import (
+        media_features,
+    )
+
+    media = _docs_with_media(spark, sf_dir)
+    feats = media_features(media, fake_decode=True)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("bucket", "val")
+    ).select(
+        "media_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round(F.col("val") * 3, 0).cast("bigint").alias("byte_sum"),
+    )
+
+
+def q63_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling grid (one row per (media_id, frame_ts_ms) at
+    1 s cadence), materialized JVM-side so the expensive decode fans out
+    evenly across partitions — pure filter + sequence/posexplode, zero
+    shuffles."""
+    from semantic_entity_matching_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = _docs_with_media(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1509,6 +1592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_html_extract": q58_html_extract,
         "q59_outlink_domains": q59_outlink_domains,
         "q60_document_frequency": q60_document_frequency,
+        "q61_excel_scan": q61_excel_scan,
+        "q62_media_features": q62_media_features,
+        "q63_frame_sample": q63_frame_sample,
     }
 
 
@@ -3269,6 +3355,76 @@ def oracle_sql() -> dict[str, str]:
                round(ln((1.0 + (SELECT c FROM n)) / (1.0 + doc_freq)) + 1.0, 6)
                  AS idf
         FROM ranked WHERE rank <= 25
+    """
+
+    # ------------------------------------------------------------------
+    # q61 — Excel scan: the oracle reads the CSV twin of the committed
+    # xlsx fixture (q35 pattern; DuckDB has no xlsx reader), same ordered
+    # skip-3 / limit-20 resume window.
+    # ------------------------------------------------------------------
+    sql["q61_excel_scan"] = """
+        WITH raw AS (
+          SELECT *
+          FROM read_csv('/root/repo/fixtures/q61_catalog_utf8.csv',
+                        header=true)
+          ORDER BY row_id
+          LIMIT 20 OFFSET 3
+        )
+        SELECT CAST(row_id AS BIGINT) AS row_id, name, city,
+               CAST(qty AS BIGINT) AS qty,
+               round(price, 6) AS price,
+               CAST(active AS INT) AS active
+        FROM raw
+    """
+
+    # ------------------------------------------------------------------
+    # q62 — multimodal feature plumbing: the fake decoder tiles the md5
+    # digest 12x into 192 bytes (byte j = digest[j % 16]); bucket k
+    # mean-pools bytes 3k..3k+2, and round(val*3) recovers the exact
+    # integer sum — reproduced here with the md5 nibble-fold.  NULL text
+    # -> zero features.
+    # ------------------------------------------------------------------
+    sql["q62_media_features"] = """
+        WITH media AS (
+          SELECT 'm' || doc_id AS media_id, text FROM documents
+        ), bytes AS (
+          SELECT media_id,
+                 CASE WHEN text IS NULL THEN NULL ELSE
+                   list_transform(range(1, 17), i ->
+                     16 * (instr('0123456789abcdef',
+                                 substr(md5(text), 2*i - 1, 1)) - 1)
+                        + (instr('0123456789abcdef',
+                                 substr(md5(text), 2*i, 1)) - 1))
+                 END AS b
+          FROM media
+        ), expl AS (
+          SELECT media_id, b, unnest(range(0, 64)) AS bucket FROM bytes
+        )
+        SELECT media_id,
+               CAST(bucket AS INT) AS bucket,
+               CAST(CASE WHEN b IS NULL THEN 0 ELSE
+                      b[(3*bucket) % 16 + 1]
+                    + b[(3*bucket + 1) % 16 + 1]
+                    + b[(3*bucket + 2) % 16 + 1]
+                    END AS BIGINT) AS byte_sum
+        FROM expl
+    """
+
+    # q63 — frame-sampling grid: Spark sequence(0, d-1, step) ==
+    # DuckDB end-exclusive range(0, d, step).
+    sql["q63_frame_sample"] = """
+        WITH media AS (
+          SELECT 'm' || doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'video'
+                                 WHEN 1 THEN 'image'
+                                 ELSE 'audio' END AS media_type,
+                 (doc_id % 7 + 1) * 2500 AS duration_ms
+          FROM documents
+        )
+        SELECT media_id,
+               CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT)
+                 AS frame_ts_ms
+        FROM media WHERE media_type = 'video'
     """
 
     return sql
