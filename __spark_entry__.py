@@ -1530,6 +1530,36 @@ def q63_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication mass per doc (Lee et al. 2022 family,
+    window-hash form): rolling 8-token windows keyed by md5 (the
+    engine-portable key; production default is xxhash64), a window is
+    duplicated when it occurs in >= 2 distinct docs.  A fixed boilerplate
+    sentence appended to every 4th doc plants cross-doc duplicate spans;
+    the natural corpus vocabulary adds more — both deterministic."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " the quick brown fox jumps over the lazy dog"
+                    " again and again"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return duplicate_span_stats(
+        docs, id_col="doc_id", text_col="text2", k=8, min_docs=2,
+        use_md5=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1595,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_excel_scan": q61_excel_scan,
         "q62_media_features": q62_media_features,
         "q63_frame_sample": q63_frame_sample,
+        "q64_duplicate_spans": q64_duplicate_spans,
     }
 
 
@@ -3408,6 +3439,46 @@ def oracle_sql() -> dict[str, str]:
                     + b[(3*bucket + 2) % 16 + 1]
                     END AS BIGINT) AS byte_sum
         FROM expl
+    """
+
+    # q64 — exact-substring duplicate spans: rolling 8-token windows,
+    # md5-keyed, duplicated = present in >= 2 distinct docs; the same
+    # boilerplate injection as the Spark side.
+    sql["q64_duplicate_spans"] = """
+        WITH t2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN
+                   text || ' the quick brown fox jumps over the lazy dog'
+                        || ' again and again'
+                 ELSE text END AS text2
+          FROM documents
+        ), base AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text2)), '\\s+'),
+                   x -> x <> '') AS t
+          FROM t2 WHERE text2 IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM base, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+          WHERE len(t) >= 8
+        ), per AS (
+          SELECT h, doc_id, count(*) AS c FROM grams GROUP BY h, doc_id
+        ), dup AS (
+          SELECT h FROM per GROUP BY h HAVING count(*) >= 2
+        ), dpd AS (
+          SELECT doc_id, sum(c) AS s FROM per JOIN dup USING (h)
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(greatest(len(b.t) - 7, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(d.s, 0) AS BIGINT) AS n_dup_windows,
+               CASE WHEN len(b.t) >= 8
+                    THEN round(coalesce(d.s, 0)::DOUBLE
+                               / (len(b.t) - 7), 6)
+               END AS dup_fraction,
+               CASE WHEN coalesce(d.s, 0) > 0 THEN 1 ELSE 0 END AS flagged
+        FROM base b LEFT JOIN dpd d USING (doc_id)
     """
 
     # q63 — frame-sampling grid: Spark sequence(0, d-1, step) ==

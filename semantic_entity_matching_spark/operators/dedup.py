@@ -580,3 +580,101 @@ def keep_best_representatives(
     return assignments.withColumn(
         "keep", (F.row_number().over(w) == 1).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (rolling k-token window) duplicate spans
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_docs: int = 2,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family,
+    window-hash form): every length-``k`` token window is keyed, and a
+    window is *duplicated* when the identical window occurs in at least
+    ``min_docs`` distinct documents.
+
+    -> (id, n_windows, n_dup_windows, dup_fraction, flagged) — one row
+    per non-null-text document; docs shorter than ``k`` tokens carry
+    ``n_windows = 0`` and a NULL fraction.
+
+    Scale shape: window expansion is a pure flatMap emitting one key per
+    token position (xxhash64 -> 8 bytes/position; ``use_md5=True`` swaps
+    in md5 hex for engine-portable oracles at contract scale).  Then a
+    (key, doc) partial aggregation collapses in-doc repeats map-side, the
+    distinct-doc count is a second aggregate on the key, and the flagged
+    keys join back to the (key, doc) table on the SAME key partitioning
+    — no window function, no global sort, and boilerplate hot keys cost
+    one AQE-splittable reducer.  Total: three key-partitioned exchanges
+    plus one id-keyed join, independent of corpus size per row.
+
+    Unlike the suffix-array formulation this does not locate maximal
+    duplicated spans — it measures per-document duplication mass, the
+    decision signal C4/RefinedWeb-class cleaning acts on.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    )
+    grams = (
+        base.where(F.size("_t") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - F.lit(k)),
+                    lambda i: F.array_join(F.slice("_t", i + 1, k), " "),
+                )
+            ).alias("_g"),
+        )
+    )
+    key = F.md5(F.col("_g")) if use_md5 else F.xxhash64(F.col("_g"))
+    per = grams.select("_id", key.alias("_h")).groupBy("_h", "_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dup_keys = (
+        per.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    dup_per_doc = (
+        per.join(dup_keys, "_h")
+        .groupBy("_id")
+        .agg(F.sum("_c").alias("_dup"))
+    )
+    n_windows = F.greatest(F.size("_t") - F.lit(k - 1), F.lit(0))
+    out = (
+        base.select("_id", n_windows.cast("bigint").alias("n_windows"))
+        .join(dup_per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_windows",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    F.coalesce(F.col("_dup"), F.lit(0))
+                    / F.col("n_windows"),
+                    6,
+                ),
+            ).alias("dup_fraction"),
+            (F.coalesce(F.col("_dup"), F.lit(0)) > 0).cast("int").alias(
+                "flagged"
+            ),
+        )
+    )
+    return out

@@ -108,3 +108,41 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     # count-1 grams tie -> lexicographic ascending
     assert rows[1]["gram"] == "b c a"
     assert rows[2]["gram"] == "b c d"
+
+
+def test_duplicate_span_stats_planted(spark):
+    from semantic_entity_matching_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    boiler = "a b c d e f g h"  # 8 tokens -> exactly one shared window
+    rows = [
+        (1, f"unique one text here {boiler}"),
+        (2, f"other words entirely {boiler}"),
+        (3, "nothing shared in this document at all today ok"),
+        (4, "short doc"),          # < k tokens -> 0 windows
+        (5, None),                 # excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, k=8, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: 12 tokens -> 5 windows; doc 2: 11 tokens -> 4 windows; only
+    # the pure-boilerplate window (the last one) is shared across both
+    assert out[1]["n_windows"] == 5 and out[2]["n_windows"] == 4
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+    assert out[1]["flagged"] == 1 and abs(out[1]["dup_fraction"] - 0.2) < 1e-9
+    assert out[3]["n_dup_windows"] == 0 and out[3]["flagged"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] is None
+    # md5 key path is count-identical (the oracle's engine-portable form)
+    out_md5 = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(
+            df, k=8, min_docs=2, use_md5=True
+        ).collect()
+    }
+    assert all(
+        out_md5[i]["n_dup_windows"] == out[i]["n_dup_windows"] for i in out
+    )
