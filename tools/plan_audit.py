@@ -289,6 +289,26 @@ def main() -> None:
         else "q60 top-k is not a TakeOrdered — global sort leaked in",
     )
 
+    # 12. exact-substring span dedup aggregates on the window key — the
+    # plan must contain NO Window node and NO rangepartitioning (a
+    # window/sort formulation would pile every boilerplate hot key into
+    # one unsplittable sort partition).
+    import re as _re
+
+    e_spans = explained_of(E.q64_duplicate_spans(spark, SF)).lower()
+    # match the Window NODE header, not the n_windows column name
+    has_window_node = bool(
+        _re.search(r"^\s*(?:\*\s*)?window(?:groupLimit)?\s*\(", e_spans, _re.M)
+    )
+    ok_spans = not has_window_node and "rangepartitioning" not in e_spans
+    check(
+        "span_dedup_no_window_no_sort",
+        ok_spans,
+        "aggregate-only plan (no Window, no rangepartitioning)"
+        if ok_spans
+        else "Window/rangepartitioning leaked into the span-dedup plan",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
