@@ -508,7 +508,10 @@ def q27_gold_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
     corpus = docs.select(F.col("doc_id").alias("candidate_id"), "text")
-    hits = lexical_topk(queries_df, corpus, k=50, score_round=6)
+    # one corpus index serves all 50 queries — opt in to the persisted
+    # index (library default is no-persist) so the tokenize/explode scan
+    # of the corpus runs once, not once per downstream job
+    hits = lexical_topk(queries_df, corpus, k=50, score_round=6, persist_index=True)
     gold = queries_df.select("query_id", F.col("query_id").alias("gold_id"))
     return evaluate_gold_ranks(hits, gold)
 

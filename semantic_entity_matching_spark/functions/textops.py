@@ -23,6 +23,21 @@ def _c(col: str | Column) -> Column:
 # token counting
 # ---------------------------------------------------------------------------
 
+def whitespace_tokens(col: str | Column) -> Column:
+    """THE shared lowercase whitespace tokenizer: ``lower(trim(x))`` split
+    on ``\\s+`` with empty tokens removed.
+
+    Every operator whose tokenization must agree across the engine AND
+    with its DuckDB oracle twin (repetition stats q39/q46, Gopher flags
+    q48, n-gram census q51, DF/IDF q60, decontamination q45, span dedup
+    q64) calls THIS helper — the DuckDB form is
+    ``list_filter(string_split_regex(lower(trim(x)), '\\s+'), t -> t <> '')``.
+    A tweak applied here changes all of them together; a tweak applied
+    anywhere else silently forks the cross-operator tokenization contract.
+    """
+    return F.array_remove(F.split(F.lower(F.trim(_c(col))), r"\s+"), "")
+
+
 def token_count(col: str | Column) -> Column:
     """Whitespace token count; 0 for null/blank."""
     c = _c(col)
@@ -221,9 +236,7 @@ def token_repetition_stats(
     """
     from pyspark.sql import functions as F
 
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    toks = whitespace_tokens(text_col)
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_t"))
@@ -290,9 +303,7 @@ def extended_repetition_stats(
     """
     from pyspark.sql import functions as F
 
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    toks = whitespace_tokens(text_col)
     # non-blank trimmed lines; duplicate detection is on exact line content
     lines = F.filter(
         F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
@@ -402,9 +413,7 @@ def gopher_quality_flags(
     from pyspark.sql import functions as F
 
     t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    toks = whitespace_tokens(text_col)
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_t"))
@@ -499,9 +508,7 @@ def chunk_documents(
             f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
         )
     step = chunk_tokens - overlap_tokens
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    toks = whitespace_tokens(text_col)
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_t"))
@@ -567,9 +574,7 @@ def top_ngrams(
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    toks = whitespace_tokens(text_col)
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("_id"), toks.alias("_t"))
@@ -636,9 +641,7 @@ def document_frequency(
     base = df.where(F.col(text_col).isNotNull())
     if n_docs is None:
         n_docs = base.count()
-    toks = F.array_distinct(
-        F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
-    )
+    toks = F.array_distinct(whitespace_tokens(text_col))
     dfreq = (
         base.select(F.explode(toks).alias("token"))
         .groupBy("token")

@@ -250,10 +250,19 @@ def train_ivf_centroids(
     # is a file scan — no counting job; the footer total upper-bounds the
     # non-null vector count, which only shrinks the survivor set slightly
     # (still hash-deterministic).  Non-parquet inputs pay one count job.
-    n_vecs = parquet_footer_row_count(corpus)
-    if n_vecs is None:
-        n_vecs = src.count()
+    footer_n = parquet_footer_row_count(corpus)
+    n_vecs = footer_n if footer_n is not None else src.count()
     rows = _ivf_sample_plan(src, n_vecs, sample_n).collect()
+    if footer_n is not None and len(rows) < sample_n and n_vecs > 2 * sample_n:
+        # the footer total counts ALL rows of the underlying files, but a
+        # selective filter on the corpus (e.g. lang='en' keeping 1%) can
+        # shrink the post-filter population far below it — the modulus is
+        # then oversized and the hash-range sample under-delivers (possibly
+        # to zero on a non-empty corpus).  Detect under-delivery and redo
+        # the sizing from an exact count — one extra job, paid only on
+        # filtered corpora where the cheap metadata bound was wrong.
+        n_vecs = src.count()
+        rows = _ivf_sample_plan(src, n_vecs, sample_n).collect()
     rows.sort(key=lambda r: r["_h"])
     rows = rows[:sample_n]
     mat = np.array([r["v"] for r in rows], dtype=np.float64)

@@ -20,12 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from semantic_entity_matching_spark.functions.textops import whitespace_tokens
+
 
 def _token_ngrams_col(text_col: Column, n: int) -> Column:
     """DISTINCT lowercased whitespace-token n-grams of a text column as an
     array<string> — [] for null/short texts.  Pure Column expr (tokenize
     once, slice windows), identical shape to the chunking operator."""
-    toks = F.array_remove(F.split(F.lower(F.trim(text_col)), r"\s+"), "")
+    toks = whitespace_tokens(text_col)
     n_tok = F.size(toks)
     grams = F.when(
         n_tok >= n,

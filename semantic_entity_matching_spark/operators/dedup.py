@@ -23,7 +23,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantic_entity_matching_spark.functions.similarity import cosine_udf
-from semantic_entity_matching_spark.functions.textops import fingerprint_hex
+from semantic_entity_matching_spark.functions.textops import (
+    fingerprint_hex,
+    whitespace_tokens,
+)
 from semantic_entity_matching_spark.operators.blocking import (
     LSHConfig,
     minhash_block_keys,
@@ -507,12 +510,19 @@ def dedup_lines(
     (per-line firsts, per-doc reassembly) plus one doc-keyed join for the
     pre-dedup line counts — each strictly smaller than the exploded input.
     """
+    # F.split takes a REGEX while array_join below re-joins with the
+    # literal separator — quote regex metachars so e.g. line_sep='|' splits
+    # on the literal pipe instead of between every character.  '\n' and
+    # other plain chars pass through untouched (q50's oracle contract).
+    sep_pattern = "".join(
+        "\\" + c if c in r".^$*+?()[]{}|\&-~" else c for c in line_sep
+    )
     lines = (
         df.select(F.col(id_col), F.col(text_col))
         .where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
                 "pos", "line"
             ),
         )
@@ -620,9 +630,7 @@ def duplicate_span_stats(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    toks = whitespace_tokens(text_col)
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("_id"), toks.alias("_t"))

@@ -76,10 +76,14 @@ def pack_by_token_budget(
     if not 1 <= bucket_hex_chars <= 8:
         raise ValueError("bucket_hex_chars must be in [1, 8]")
 
+    # null-safe on BOTH paths: a null caller-supplied token count becomes
+    # 0 (matching the text path, where token_count of null text is 0) —
+    # otherwise the null arrives in the pandas kernel as NaN and the
+    # int64 cast explodes with an opaque executor-side ValueError
     n_col = (
-        F.col(tokens_col).cast("long")
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
         if tokens_col
-        else token_count(text_col).cast("long")
+        else F.coalesce(token_count(text_col).cast("long"), F.lit(0))
     )
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
     base = docs.select(

@@ -167,20 +167,53 @@ class TableSink:
                 # summary — catalog metadata, no table scan.  Iceberg
                 # elides no-op commits (a MERGE that changes nothing may
                 # create no snapshot), so an unchanged current-snapshot-id
-                # means 0 rows; otherwise read that SPECIFIC snapshot's
-                # summary (never "latest by committed_at": a concurrent
-                # writer may have committed since).
+                # means 0 rows.  Otherwise walk the parent_id LINEAGE from
+                # the current snapshot back to the pre-MERGE one: exactly
+                # one new snapshot in the chain means it is unambiguously
+                # ours (the common, uncontended case — read ITS summary,
+                # never "latest by committed_at", whose ordering is
+                # nondeterministic within a millisecond and attributes a
+                # concurrent writer's commit to this call).  More than one
+                # new snapshot means concurrent writers interleaved and no
+                # metadata query can attribute added-records to us — fall
+                # back to the exact answer: count incoming keys absent
+                # from the pre-MERGE table state (one time-travel
+                # anti-join scan, paid only under write contention).
                 after_snapshot = self._current_snapshot_id()
                 if after_snapshot is None or after_snapshot == before_snapshot:
                     return 0
-                row = self.spark.sql(
-                    f"""
-                    SELECT summary['added-records'] AS added
-                    FROM {self.table}.snapshots
-                    WHERE snapshot_id = {after_snapshot}
-                    """
-                ).first()
-                return int(row["added"] or 0) if row is not None else 0
+                lineage = {
+                    int(r["snapshot_id"]): (
+                        None if r["parent_id"] is None else int(r["parent_id"]),
+                        r["added"],
+                    )
+                    for r in self.spark.sql(
+                        f"""
+                        SELECT snapshot_id, parent_id,
+                               summary['added-records'] AS added
+                        FROM {self.table}.snapshots
+                        """
+                    ).collect()
+                }
+                new_ids: list[int] = []
+                cur: int | None = after_snapshot
+                while (
+                    cur is not None
+                    and cur != before_snapshot
+                    and cur in lineage
+                ):
+                    new_ids.append(cur)
+                    cur = lineage[cur][0]
+                if len(new_ids) == 1:
+                    return int(lineage[new_ids[0]][1] or 0)
+                if before_snapshot is None:
+                    # table existed with no snapshot: the pre-MERGE state
+                    # was empty, so every incoming (deduped) key was absent
+                    return df.count()
+                previous = self.spark.read.option(
+                    "snapshot-id", before_snapshot
+                ).table(self.table)
+                return resume_anti_join(df, previous, key=self.key).count()
             return self.count() - before
         fresh = resume_anti_join(df, self.read(), key=self.key)
         n = fresh.count()

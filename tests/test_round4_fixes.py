@@ -102,3 +102,55 @@ def test_lexical_index_registry_self_caps(spark):
     assert dfs[0].storageLevel.useMemory is False
     assert dfs[1].storageLevel.useMemory is False
     assert s.unpersist_lexical_indexes() == s._MAX_PERSISTED_INDEXES
+
+
+def test_dedup_lines_literal_separator_with_regex_metachars(spark):
+    """line_sep is treated as a LITERAL on both the split and the re-join
+    side — a '|' separator must split on pipes, not between every char."""
+    from semantic_entity_matching_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha|beta|alpha"), (2, "beta|gamma")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, line_sep="|").collect()
+    }
+    assert out[1]["n_lines"] == 3
+    assert out[1]["text_dedup"] == "alpha|beta"  # in-doc repeat dropped
+    assert out[2]["n_lines"] == 2
+    assert out[2]["text_dedup"] == "gamma"  # 'beta' claimed by doc 1
+
+
+def test_pack_by_token_budget_null_token_counts(spark):
+    """A caller-supplied tokens_col with NULLs packs as 0 tokens instead of
+    exploding inside the pandas kernel."""
+    from semantic_entity_matching_spark.operators.pack import pack_by_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id bigint, n int"
+    )
+    rows = pack_by_token_budget(df, budget=100, tokens_col="n").collect()
+    got = {r["doc_id"]: r["n_tokens"] for r in rows}
+    assert got == {1: 10, 2: 0, 3: 5}
+
+
+def test_ivf_training_recovers_from_filtered_parquet_corpus(spark, tmp_path):
+    """Footer totals ignore filters: a selective filter must not shrink the
+    training sample to (near-)zero — the adaptive exact-count fallback
+    kicks in and training succeeds on the post-filter population."""
+    from semantic_entity_matching_spark.operators.ann import train_ivf_centroids
+
+    p = str(tmp_path / "vecs_f.parquet")
+    rows = [
+        (i, i % 100, [float((i * 3 + j) % 7) for j in range(4)])
+        for i in range(20000)
+    ]
+    spark.createDataFrame(
+        rows, "candidate_id bigint, grp int, embedding array<float>"
+    ).write.parquet(p)
+    # keep 1% of rows: footer says 20000, true population is 200
+    df = spark.read.parquet(p).where(F.col("grp") == 0)
+    cents = train_ivf_centroids(df, nlist=4, sample_n=150, iters=2)
+    assert cents.shape == (4, 4)

@@ -296,9 +296,18 @@ def main() -> None:
     import re as _re
 
     e_spans = explained_of(E.q64_duplicate_spans(spark, SF)).lower()
-    # match the Window NODE header, not the n_windows column name
+    # match the Window NODE header in BOTH formatted-explain renderings —
+    # tree lines ("+- Window (5)") and detail headers ("(5) Window") —
+    # without tripping on windowspecdefinition arguments or the n_windows
+    # column name.  (Empirically verified against a row_number() plan: the
+    # previous ^window\( pattern matched NEITHER form — dead assertion.)
     has_window_node = bool(
-        _re.search(r"^\s*(?:\*\s*)?window(?:groupLimit)?\s*\(", e_spans, _re.M)
+        _re.search(
+            r"(?:^|[-+:\s])\(\d+\)\s+window(?:grouplimit)?\b"
+            r"|^[\s:+|-]*window(?:grouplimit)?\s+\(\d+\)",
+            e_spans,
+            _re.M,
+        )
     )
     ok_spans = not has_window_node and "rangepartitioning" not in e_spans
     check(

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -353,19 +354,33 @@ def run_level(
     # hang is a real failure and raises.
     last_err = ""
     for attempt in range(2):
+        # the worker spawns a py4j-gateway JVM (a grandchild): a plain
+        # subprocess timeout kill would only SIGKILL the python worker and
+        # ORPHAN the JVM — which keeps its cores/shuffle dirs (and, in
+        # standalone mode, its executor registrations) and skews the retry
+        # leg.  Run the leg in its own session/process group and kill the
+        # whole group on timeout.
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env, start_new_session=True,
+        )
         try:
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True,
-                timeout=LEG_TIMEOUT, env=env,
-            )
+            out, err = proc.communicate(timeout=LEG_TIMEOUT)
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
             print(
                 f"leg (cores={local_cores or EXEC_CORES * execs}) hung past "
-                f"{LEG_TIMEOUT}s — killed, retry {attempt + 1}/1",
+                f"{LEG_TIMEOUT}s — killed (whole process group), "
+                f"retry {attempt + 1}/1",
                 file=sys.stderr,
             )
             last_err = f"timeout after {LEG_TIMEOUT}s"
             continue
+        proc = subprocess.CompletedProcess(cmd, proc.returncode, out, err)
         for line in proc.stdout.splitlines():
             if line.startswith("WORKER_RESULT "):
                 return json.loads(line[len("WORKER_RESULT "):])
