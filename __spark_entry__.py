@@ -1563,6 +1563,30 @@ def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: nearest-
+    centroid assignment (8 deterministic md5-hash centroids — engine-
+    portable, so the DuckDB twin recomputes the identical cells), within-
+    cell cosine near-dup pairs at 0.35, connected components, diversity-
+    keep survivor per component (least similar to its centroid, ties to
+    the smallest id)."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        hash_centroid_vectors,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = hash_centroid_vectors(nlist=8, dim=64)
+    return semantic_dedup(
+        emb,
+        cents,
+        id_col="vec_id",
+        vec_col="embedding",
+        cosine_threshold=0.35,
+        score_round=6,
+    ).select("vec_id", "cell", "centroid_cos", "component", "keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1629,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_media_features": q62_media_features,
         "q63_frame_sample": q63_frame_sample,
         "q64_duplicate_spans": q64_duplicate_spans,
+        "q65_semantic_dedup": q65_semantic_dedup,
     }
 
 
@@ -3499,6 +3524,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT)
                  AS frame_ts_ms
         FROM media WHERE media_type = 'video'
+    """
+
+    # q65 — SemDeDup: the centroid table is recomputed from md5('cell-j')
+    # hex (byte k -> k/128 - 1, tiled 16 -> 64: the q29 embedding trick),
+    # assignment is argmax of the ROUNDED cosine with ties to the lowest
+    # cell, near-dup pairs are within-cell only, components via the
+    # recursive walk (== large/small-star fixpoint with component=min id),
+    # survivor = (centroid_cos ASC, vec_id ASC) first row per component.
+    sql["q65_semantic_dedup"] = """
+        WITH RECURSIVE cents AS (
+          SELECT j::INT AS cell,
+                 list_transform(range(0, 64), i ->
+                   (((instr('0123456789abcdef',
+                            substr(md5('cell-' || j), 2*(i % 16) + 1, 1)) - 1)
+                     * 16
+                     + instr('0123456789abcdef',
+                             substr(md5('cell-' || j), 2*(i % 16) + 2, 1))
+                     - 1)::DOUBLE / 128.0 - 1.0)) AS cv
+          FROM range(0, 8) t(j)
+        ), scored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv),
+                       6) AS ccos
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.embedding IS NOT NULL
+        ), best AS (
+          SELECT vec_id, embedding, cell, ccos,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rk
+          FROM scored
+        ), a AS (
+          SELECT vec_id, embedding, cell, ccos AS centroid_cos
+          FROM best WHERE rk = 1
+        ), pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                             y.embedding::DOUBLE[]), 6)
+                >= 0.35
+        ), e2 AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ), walk(id, comp) AS (
+          SELECT vec_id, vec_id FROM a
+          UNION
+          SELECT e.v, w.comp FROM walk w JOIN e2 e ON e.u = w.id
+        ), comps AS (
+          SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS component
+          FROM walk GROUP BY id
+        )
+        SELECT a.vec_id, a.cell, a.centroid_cos, c.component,
+               CASE WHEN row_number() OVER (
+                      PARTITION BY c.component
+                      ORDER BY a.centroid_cos ASC, a.vec_id ASC) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM a JOIN comps c USING (vec_id)
     """
 
     return sql

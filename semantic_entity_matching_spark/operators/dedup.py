@@ -686,3 +686,164 @@ def duplicate_span_stats(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------------
+
+def hash_centroid_vectors(
+    nlist: int, dim: int, prefix: str = "cell-"
+) -> list[list[float]]:
+    """Deterministic centroid table for tests/oracles: the md5-hash
+    embedding (``HashEmbeddingProvider`` scheme, reference
+    test_services_search_service_integration.py:188-202) of the strings
+    ``'{prefix}0'..'{prefix}{nlist-1}'``.  Every value ``k/128 - 1`` is
+    exact in float32 AND reproducible in DuckDB from ``md5()`` hex (the
+    q29 oracle trick), so cluster assignment is engine-portable bit for
+    bit.  Production callers pass ``train_ivf_centroids(...).tolist()``
+    instead — the operator only sees a list of vectors."""
+    from semantic_entity_matching_spark.functions.embed import (
+        HashEmbeddingProvider,
+    )
+
+    prov = HashEmbeddingProvider(dim=dim)
+    return [prov.embed_one(f"{prefix}{j}") for j in range(nlist)]
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched BLAS map →
+    ``(id, vec, cell, centroid_cos)``: zero shuffle, the centroid matrix
+    rides in the UDF closure (nlist × dim floats — KBs to MBs, fine for
+    nlist in the thousands, unlike literal-array codegen which explodes
+    the Catalyst expression tree when the plan is later self-joined).
+    Same shape as the IVF assigner (``operators/ann.py:_cell_assign_df``)
+    but keeps the vector and the winning cosine for downstream scoring.
+
+    ``score_round`` rounds every centroid cosine BEFORE the argmax
+    (round-before-rank convention), half-away-from-zero to match Spark's
+    ``F.round``/DuckDB's ``round``, so near-ties resolve identically in
+    every engine/partitioning; ties → lowest cell index (numpy argmax is
+    first-wins).  Null-vector rows are excluded (they have no nearest
+    centroid; upstream audits count them)."""
+    if len(centroids) == 0:
+        raise ValueError("centroids must be non-empty")
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if batch.empty:
+                continue
+            mat = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ cn.T  # (n, nlist)
+            if score_round is not None:
+                # half-away-from-zero (Spark F.round / DuckDB round), NOT
+                # numpy's half-even
+                p = 10.0**score_round
+                sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+            cell = sims.argmax(axis=1)  # first max wins -> lowest cell
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    vec_col: batch[vec_col],
+                    "cell": cell.astype(np.int32),
+                    "centroid_cos": sims[np.arange(len(cell)), cell],
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(
+            gen,
+            schema=(
+                f"{id_col} {id_type}, {vec_col} {vec_type}, "
+                "cell int, centroid_cos double"
+            ),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    score_round: int | None = None,
+    quantization: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic dedup of an embedded corpus by cluster-then-prune →
+    ``(id, cell, centroid_cos, component, keep)``.
+
+    1. assign every vector to its nearest centroid
+       (:func:`assign_nearest_centroid` — pure codegen map, no shuffle);
+    2. cosine near-dup pairs WITHIN each cell only
+       (:func:`embedding_near_duplicates` with the cell as the blocking
+       key — never all-pairs; the k-means cells play the LSH-bucket role,
+       and ``quantization`` shrinks the per-cell join payload exactly as
+       in the flagship prescore);
+    3. connected components over the near-dup graph (large-star/small-star,
+       ``operators/cluster.py``), singletons keeping their own id;
+    4. ONE survivor per component — the member LEAST similar to its
+       centroid (the paper's diversity-keep rule: of a semantic-duplicate
+       group, keep the example farthest from the cluster center), ties →
+       smallest id; ``keep`` is 1 for survivors, 0 for pruned rows.
+
+    Scale shape: the only shuffles are the per-cell self-join (keyed by
+    cell — at 10^12 docs use enough centroids that cells fit executor
+    memory; skewed hot cells split under AQE) and the CC supersteps over
+    the (usually tiny) duplicate-edge set.  The final window is keyed by
+    component over narrow rows.
+    """
+    from semantic_entity_matching_spark.operators.cluster import (
+        connected_components,
+    )
+
+    assigned = assign_nearest_centroid(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        score_round=score_round,
+    )
+    pairs = embedding_near_duplicates(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col="cell",
+        cosine_threshold=cosine_threshold,
+        score_round=score_round,
+        quantization=quantization,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    out = (
+        assigned.drop(vec_col)
+        .join(
+            comp.select(
+                F.col("id").alias(id_col), F.col("component")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col(id_col))
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("centroid_cos").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))

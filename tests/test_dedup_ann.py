@@ -352,3 +352,45 @@ def test_deterministic_sampling_stability(spark):
         for r in stratified_sample(docs.repartition(17), "lang", 10, "doc_id").collect()
     )
     assert a == b
+
+
+def test_semantic_dedup_survivor_and_cells(spark):
+    """SemDeDup contract: within-cell near-dups collapse to ONE survivor —
+    the member LEAST similar to its centroid (diversity-keep, ties to the
+    smallest id); cross-cell near-dups are NOT paired (cells are the
+    blocking key — the documented cluster-then-prune tradeoff); null
+    vectors are excluded."""
+    from semantic_entity_matching_spark.operators.dedup import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # cell 0, dup group A
+        (2, [0.999, 0.04, 0.0, 0.0]),   # cell 0, dup of 1, lower centroid_cos
+        (3, [0.8, 0.0, 0.6, 0.0]),      # cell 0, singleton (cos 0.8 < 0.95)
+        (4, [0.0, 1.0, 0.0, 0.0]),      # cell 1, dup group B
+        (5, [0.04, 0.999, 0.0, 0.0]),   # cell 1, dup of 4
+        (7, [0.72, 0.69, 0.0, 0.0]),    # cell 0 } cosine(7,8)≈0.998 but
+        (8, [0.69, 0.72, 0.0, 0.0]),    # cell 1 } different cells: no pair
+        (9, None),                       # excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(
+            df, cents, cosine_threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 7, 8}  # null row gone
+    assert {k: v["cell"] for k, v in out.items()} == {
+        1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 7: 0, 8: 1
+    }
+    # dup groups resolved to one component each
+    assert out[1]["component"] == out[2]["component"]
+    assert out[4]["component"] == out[5]["component"]
+    # survivor = least similar to centroid (2 and 5, not 1 and 4)
+    assert (out[1]["keep"], out[2]["keep"]) == (0, 1)
+    assert (out[4]["keep"], out[5]["keep"]) == (0, 1)
+    # cross-cell near-dups never pair: both survive as singletons
+    assert out[7]["keep"] == 1 and out[8]["keep"] == 1
+    assert out[7]["component"] != out[8]["component"]
+    assert out[3]["keep"] == 1
