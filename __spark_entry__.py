@@ -1587,6 +1587,97 @@ def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cell", "centroid_cos", "component", "keep")
 
 
+def q66_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: fold customers into synthetic entity
+    clusters (c_custkey % 300 — deterministic, replayable in SQL) and
+    consolidate ONE row per cluster: modal c_mktsegment / c_nationkey
+    (ties to the smallest STRING-cast value, the engine-portable order),
+    max c_acctbal, member count."""
+    from semantic_entity_matching_spark.operators.resolve import golden_record
+
+    cust = _t(spark, sf_dir, "customer")
+    clusters = cust.select(
+        "c_custkey", (F.col("c_custkey") % 300).alias("cluster")
+    )
+    out = golden_record(
+        cust,
+        clusters,
+        "c_custkey",
+        mode_fields=["c_mktsegment", "c_nationkey"],
+        agg_fields={"c_acctbal": "max"},
+    )
+    return out.select(
+        "cluster",
+        "size",
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+def q67_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic pair scoring: adjacent-custkey
+    candidate pairs (the q18/q24 pairing convention), 0/1 agreement on
+    nationkey / mktsegment plus a null-able balance-proximity agreement
+    (NULL when either balance is negative — exercises the
+    missing-contributes-zero rule), fixed published-style m/u params,
+    prior 0.01.  Weights are log2 Bayes factors summed per pair."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        FSField,
+        fellegi_sunter_score,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = (
+        a.join(b, "id_a")
+        .withColumn(
+            "g_nat", (F.col("nat_a") == F.col("nat_b")).cast("int")
+        )
+        .withColumn(
+            "g_seg", (F.col("seg_a") == F.col("seg_b")).cast("int")
+        )
+        .withColumn(
+            "g_bal",
+            F.when(
+                (F.col("bal_a") < 0) | (F.col("bal_b") < 0), F.lit(None)
+            ).otherwise(
+                (F.abs(F.col("bal_a") - F.col("bal_b")) < 500).cast("int")
+            ),
+        )
+    )
+    scored = fellegi_sunter_score(
+        pairs,
+        [
+            FSField("g_nat", m=0.95, u=0.04),
+            FSField("g_seg", m=0.90, u=0.20),
+            FSField("g_bal", m=0.80, u=0.30),
+        ],
+        prior=0.01,
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "g_nat",
+        "g_seg",
+        "g_bal",
+        F.round(F.col("match_weight"), 6).alias("match_weight"),
+        F.round(F.col("match_prob"), 6).alias("match_prob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1654,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_frame_sample": q63_frame_sample,
         "q64_duplicate_spans": q64_duplicate_spans,
         "q65_semantic_dedup": q65_semantic_dedup,
+        "q66_golden_record": q66_golden_record,
+        "q67_fellegi_sunter": q67_fellegi_sunter,
     }
 
 
@@ -3581,6 +3674,82 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY a.centroid_cos ASC, a.vec_id ASC) = 1
                     THEN 1 ELSE 0 END AS keep
         FROM a JOIN comps c USING (vec_id)
+    """
+
+    # q66 — golden-record survivorship: modal value per (cluster, field)
+    # with ties to the smallest STRING-cast value (the operator melts
+    # every field to strings, so '10' < '2'); all-null fields stay null;
+    # nationkey cast back to INTEGER to match the source column type.
+    sql["q66_golden_record"] = """
+        WITH clus AS (
+          SELECT c_custkey, c_custkey % 300 AS cluster, c_mktsegment,
+                 CAST(c_nationkey AS VARCHAR) AS nk_s, c_acctbal
+          FROM customer
+        ), base AS (
+          SELECT cluster, COUNT(*) AS size,
+                 round(MAX(c_acctbal), 2) AS max_acctbal
+          FROM clus GROUP BY cluster
+        ), seg_pick AS (
+          SELECT cluster, v AS c_mktsegment FROM (
+            SELECT cluster, v, row_number() OVER (
+                     PARTITION BY cluster ORDER BY cnt DESC, v ASC) AS rk
+            FROM (SELECT cluster, c_mktsegment AS v, COUNT(*) AS cnt
+                  FROM clus WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2))
+          WHERE rk = 1
+        ), nk_pick AS (
+          SELECT cluster, CAST(v AS INTEGER) AS c_nationkey FROM (
+            SELECT cluster, v, row_number() OVER (
+                     PARTITION BY cluster ORDER BY cnt DESC, v ASC) AS rk
+            FROM (SELECT cluster, nk_s AS v, COUNT(*) AS cnt
+                  FROM clus WHERE nk_s IS NOT NULL GROUP BY 1, 2))
+          WHERE rk = 1
+        )
+        SELECT b.cluster, b.size, s.c_mktsegment, n.c_nationkey,
+               b.max_acctbal
+        FROM base b
+        LEFT JOIN seg_pick s USING (cluster)
+        LEFT JOIN nk_pick n USING (cluster)
+    """
+
+    # q67 — Fellegi-Sunter: the per-field log2 Bayes-factor weights are
+    # injected as repr() of the SAME Python floats the Spark operator
+    # bakes in as literals (bit-identical on both engines), each cast
+    # ::DOUBLE so DuckDB never routes them through DECIMAL arithmetic.
+    import math as _math
+
+    _wa_nat, _wd_nat = _math.log2(0.95 / 0.04), _math.log2(0.05 / 0.96)
+    _wa_seg, _wd_seg = _math.log2(0.90 / 0.20), _math.log2(0.10 / 0.80)
+    _wa_bal, _wd_bal = _math.log2(0.80 / 0.30), _math.log2(0.20 / 0.70)
+    _prior_odds = 0.01 / 0.99
+    sql["q67_fellegi_sunter"] = f"""
+        WITH p AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 CAST(a.c_nationkey = b.c_nationkey AS INT) AS g_nat,
+                 CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS g_seg,
+                 CASE WHEN a.c_acctbal < 0 OR b.c_acctbal < 0 THEN NULL
+                      ELSE CAST(abs(a.c_acctbal - b.c_acctbal) < 500
+                                AS INT)
+                 END AS g_bal
+          FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        ), w AS (
+          SELECT id_a, id_b, g_nat, g_seg, g_bal,
+                 (CASE WHEN g_nat IS NULL THEN 0.0::DOUBLE
+                       WHEN g_nat = 1 THEN {_wa_nat!r}::DOUBLE
+                       ELSE {_wd_nat!r}::DOUBLE END
+                + CASE WHEN g_seg IS NULL THEN 0.0::DOUBLE
+                       WHEN g_seg = 1 THEN {_wa_seg!r}::DOUBLE
+                       ELSE {_wd_seg!r}::DOUBLE END
+                + CASE WHEN g_bal IS NULL THEN 0.0::DOUBLE
+                       WHEN g_bal = 1 THEN {_wa_bal!r}::DOUBLE
+                       ELSE {_wd_bal!r}::DOUBLE END) AS mw
+          FROM p
+        )
+        SELECT id_a, id_b, g_nat, g_seg, g_bal,
+               round(mw, 6) AS match_weight,
+               round(({_prior_odds!r}::DOUBLE * power(2.0::DOUBLE, mw))
+                     / ({_prior_odds!r}::DOUBLE * power(2.0::DOUBLE, mw)
+                        + 1.0), 6) AS match_prob
+        FROM w
     """
 
     return sql

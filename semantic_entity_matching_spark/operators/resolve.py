@@ -1,0 +1,286 @@
+"""Post-clustering resolution: golden records + Fellegi-Sunter scoring.
+
+Two classic entity-resolution stages the flagship pipeline stops short of:
+
+* **Golden-record survivorship** — once records are clustered, the corpus
+  needs ONE consolidated row per entity.  ``golden_record`` votes the
+  modal value per categorical field (deterministic ties) and applies
+  simple min/max rules to ordered fields.  This is the "merge" half of
+  match-merge ER (the reference stops at cluster ids; its consumers do
+  the merge downstream — SURVEY §1.3's doc-identity-by-natural-key).
+
+* **Fellegi-Sunter match scoring** (Fellegi & Sunter 1969; the public
+  Splink formulation) — probabilistic pair scoring from per-field
+  agreement: each field carries an m-probability (P(agree | match)) and a
+  u-probability (P(agree | non-match)); a pair's match weight is the sum
+  of per-field log2 Bayes factors, and the posterior match probability
+  folds in a prior.  ``estimate_fs_params`` fits m/u/prior by EM — the
+  standard unsupervised route when no gold labels exist.
+
+Scale shapes:
+* ``golden_record``: ONE melt (per-field flatMap — rows × |fields|, all
+  narrow (cluster, field, value) triples) + one hash aggregate keyed
+  (cluster, field, value) with map-side combine + a tiny per-(cluster,
+  field) min-struct aggregate + pivot over the KNOWN field list.  No
+  window functions, no global sort; hot mega-clusters cost one partition
+  and split under AQE.
+* ``fellegi_sunter_score``: pure Column expressions — the log-weights are
+  Python-constant literals folded at plan time; zero shuffle, zero
+  Python, whole-stage codegen.
+* ``estimate_fs_params``: agreement patterns are aggregated ONCE in Spark
+  (<= 2^F distinct patterns — a few hundred rows at any corpus scale);
+  the EM loop then runs driver-side over that tiny pattern table in
+  numpy.  No per-iteration Spark job, no repeated corpus scans.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship
+# ---------------------------------------------------------------------------
+
+def golden_record(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    mode_fields: list[str] | None = None,
+    agg_fields: dict[str, str] | None = None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """One consolidated row per cluster → ``(cluster, size, <fields...>)``.
+
+    * ``mode_fields``: categorical survivorship — the most frequent
+      non-null value in the cluster wins; ties break to the SMALLEST
+      value (string order), so the result is deterministic under any
+      partitioning and replayable in ANSI SQL.  A field that is null on
+      every member stays null.  Values travel through the melt as
+      strings and are cast back to their original type on the way out.
+    * ``agg_fields``: ``{field: "min"|"max"|"sum"|"avg"}`` — ordered /
+      numeric survivorship (e.g. latest timestamp, max account balance).
+    * ``size``: cluster member count (always emitted).
+
+    ``records`` joins ``clusters`` (``id_col`` → ``cluster_col``) with a
+    plain hash join; pass a broadcast hint upstream only if the cluster
+    map is genuinely small — at corpus scale it is not.
+    """
+    mode_fields = list(mode_fields or [])
+    agg_fields = dict(agg_fields or {})
+    both = set(mode_fields) & set(agg_fields)
+    if both:
+        raise ValueError(f"fields in both mode and agg: {sorted(both)}")
+
+    joined = records.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "inner"
+    )
+
+    base = joined.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("size"),
+        *[
+            getattr(F, fn)(F.col(f)).alias(f)
+            for f, fn in agg_fields.items()
+        ],
+    )
+    if not mode_fields:
+        return base
+
+    # Melt the mode fields to narrow (cluster, field, value-as-string)
+    # triples: ONE aggregate counts every (cluster, field, value) cell,
+    # a min over struct(-count, value) picks "most frequent, ties to the
+    # smallest value" without any window function.
+    dtypes = dict(records.dtypes)
+    melted = joined.select(
+        F.col(cluster_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f).cast("string").alias("value"),
+                    )
+                    for f in mode_fields
+                ]
+            )
+        ).alias("kv"),
+    ).select(cluster_col, "kv.field", "kv.value")
+
+    counted = (
+        melted.where(F.col("value").isNotNull())
+        .groupBy(cluster_col, "field", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        counted.groupBy(cluster_col, "field")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("best")
+        )
+        .select(cluster_col, "field", F.col("best.value").alias("value"))
+    )
+    wide = best.groupBy(cluster_col).pivot("field", mode_fields).agg(
+        F.first("value")
+    )
+    out = base.join(wide, cluster_col, "left")
+    return out.select(
+        cluster_col,
+        "size",
+        *[F.col(f).cast(dtypes[f]).alias(f) for f in mode_fields],
+        *agg_fields.keys(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic scoring
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FSField:
+    """One comparison field: ``col`` is a 0/1 (or null) agreement column
+    on the pair table; ``m``/``u`` are P(agree | match) and
+    P(agree | non-match)."""
+
+    col: str
+    m: float
+    u: float
+
+    def __post_init__(self) -> None:
+        for name, v in (("m", self.m), ("u", self.u)):
+            if not 0.0 < v < 1.0:
+                raise ValueError(f"{name} must be in (0,1), got {v}")
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    fields: list[FSField],
+    prior: float = 0.5,
+    weight_col: str = "match_weight",
+    prob_col: str = "match_prob",
+) -> DataFrame:
+    """Append the FS match weight and posterior match probability.
+
+    ``match_weight`` = sum over fields of ``log2(m/u)`` on agreement and
+    ``log2((1-m)/(1-u))`` on disagreement; a NULL agreement column
+    contributes 0 (the field is uninformative for that pair — standard
+    missing-data treatment).  ``match_prob`` folds the prior in odds
+    space: ``odds = prior/(1-prior) * 2^weight``, ``prob = odds/(1+odds)``.
+
+    The per-field log weights are Python floats baked in as literals —
+    the whole thing is constant-folded codegen, no shuffle, no Python.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if not 0.0 < prior < 1.0:
+        raise ValueError(f"prior must be in (0,1), got {prior}")
+    expr = F.lit(0.0)
+    for fld in fields:
+        w_agree = math.log2(fld.m / fld.u)
+        w_disagree = math.log2((1.0 - fld.m) / (1.0 - fld.u))
+        # NULL must be tested explicitly: a NULL `when` condition falls
+        # through to `otherwise`, which would charge the disagree weight.
+        expr = expr + (
+            F.when(F.col(fld.col).isNull(), F.lit(0.0))
+            .when(F.col(fld.col).cast("int") == 1, F.lit(w_agree))
+            .otherwise(F.lit(w_disagree))
+        )
+    out = pairs.withColumn(weight_col, expr)
+    prior_odds = prior / (1.0 - prior)
+    odds = F.lit(prior_odds) * F.pow(F.lit(2.0), F.col(weight_col))
+    return out.withColumn(prob_col, odds / (odds + F.lit(1.0)))
+
+
+def estimate_fs_params(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    prior_init: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+    iters: int = 50,
+    tol: float = 1e-9,
+) -> tuple[list[FSField], float]:
+    """EM fit of (m, u) per field + the match prior → (fields, prior).
+
+    The corpus-scale part is ONE Spark aggregation: group the pair table
+    by its agreement pattern (each column coalesced to -1/0/1) and count.
+    With F fields there are at most 3^F patterns — a tiny table — so the
+    EM iterations run driver-side in numpy with zero further Spark jobs.
+    Missing (null) agreements are excluded from that field's m/u updates
+    (EM over the observed entries only).
+
+    Standard unsupervised Fellegi-Sunter fitting (Winkler 1988; the
+    public Splink `estimate_parameters_using_expectation_maximisation`
+    semantics).  Labels are never consulted.
+    """
+    if not agree_cols:
+        raise ValueError("agree_cols must be non-empty")
+    patterns = (
+        pairs.groupBy(
+            *[
+                F.coalesce(F.col(c).cast("int"), F.lit(-1)).alias(c)
+                for c in agree_cols
+            ]
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    if not patterns:
+        raise ValueError("pairs is empty")
+    gamma = np.array(
+        [[r[c] for c in agree_cols] for r in patterns], dtype=np.int64
+    )  # (P, F) in {-1, 0, 1}
+    cnt = np.array([r["cnt"] for r in patterns], dtype=np.float64)  # (P,)
+    n_fields = len(agree_cols)
+    m = np.full(n_fields, float(m_init))
+    u = np.full(n_fields, float(u_init))
+    lam = float(prior_init)
+    observed = gamma >= 0
+    agree = gamma == 1
+
+    eps = 1e-12
+    for _ in range(iters):
+        # E-step: P(match | pattern) per pattern row.
+        log_m = np.where(
+            observed, np.where(agree, np.log(m), np.log(1.0 - m)), 0.0
+        ).sum(axis=1)
+        log_u = np.where(
+            observed, np.where(agree, np.log(u), np.log(1.0 - u)), 0.0
+        ).sum(axis=1)
+        num = lam * np.exp(log_m)
+        den = num + (1.0 - lam) * np.exp(log_u)
+        resp = num / np.maximum(den, eps)  # (P,)
+        # M-step (observed entries only per field).
+        w_match = resp * cnt
+        w_non = (1.0 - resp) * cnt
+        m_new = np.empty(n_fields)
+        u_new = np.empty(n_fields)
+        for j in range(n_fields):
+            obs = observed[:, j]
+            tot_m = w_match[obs].sum()
+            tot_u = w_non[obs].sum()
+            m_new[j] = (w_match[obs] * agree[obs, j]).sum() / max(tot_m, eps)
+            u_new[j] = (w_non[obs] * agree[obs, j]).sum() / max(tot_u, eps)
+        lam_new = float(w_match.sum() / cnt.sum())
+        clip = lambda a: np.clip(a, eps, 1.0 - eps)  # noqa: E731
+        m_new, u_new = clip(m_new), clip(u_new)
+        lam_new = float(min(max(lam_new, eps), 1.0 - eps))
+        delta = max(
+            np.abs(m_new - m).max(), np.abs(u_new - u).max(), abs(lam_new - lam)
+        )
+        m, u, lam = m_new, u_new, lam_new
+        if delta < tol:
+            break
+    fields = [
+        FSField(col=c, m=float(m[j]), u=float(u[j]))
+        for j, c in enumerate(agree_cols)
+    ]
+    return fields, lam
