@@ -1678,6 +1678,21 @@ def q67_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-perplexity: corpus unigram LM (additive 0.5
+    smoothing, reserved unseen mass) scoring its own documents —
+    bits/token + perplexity per doc; blank/null docs keep n_tokens=0
+    rows with null scores."""
+    from semantic_entity_matching_spark.functions.textops import (
+        unigram_ppl_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_ppl_scores(docs).select(
+        "doc_id", "n_tokens", "bits_per_token", "ppl"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1747,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_semantic_dedup": q65_semantic_dedup,
         "q66_golden_record": q66_golden_record,
         "q67_fellegi_sunter": q67_fellegi_sunter,
+        "q68_unigram_ppl": q68_unigram_ppl,
     }
 
 
@@ -3750,6 +3766,46 @@ def oracle_sql() -> dict[str, str]:
                      / ({_prior_odds!r}::DOUBLE * power(2.0::DOUBLE, mw)
                         + 1.0), 6) AS match_prob
         FROM w
+    """
+
+    # q68 — unigram self-perplexity: the shared whitespace tokenizer, the
+    # same smoothed logp formula in pure DOUBLE math (every count cast
+    # before the decimal literals touch it), round-6 on the outputs.
+    # Summation order across engines differs only at ~1e-12 — far inside
+    # the rounding.
+    sql["q68_unigram_ppl"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> t <> '')) AS token
+          FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ), cnts AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY token
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM cnts
+        ), lm AS (
+          SELECT token,
+                 log2((CAST(cnt AS DOUBLE) + 0.5::DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         + 0.5::DOUBLE * (CAST(v AS DOUBLE) + 1.0::DOUBLE)))
+                 AS logp
+          FROM cnts CROSS JOIN tot
+        ), scored AS (
+          SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                 -SUM(CAST(tf.tf AS DOUBLE) * lm.logp)
+                   / CAST(SUM(tf.tf) AS DOUBLE) AS bits
+          FROM tf JOIN lm USING (token) GROUP BY tf.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               round(s.bits, 6) AS bits_per_token,
+               round(power(2.0::DOUBLE, s.bits), 6) AS ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
     """
 
     return sql

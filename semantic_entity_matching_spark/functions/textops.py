@@ -728,3 +728,141 @@ def normalize_text(
         c = F.regexp_replace(c, "[ \t\u00a0]+", " ")
         c = F.trim(F.regexp_replace(c, " ?\n ?", "\n"))
     return c
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM self-perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def unigram_lm(
+    df,
+    text_col: str = "text",
+    alpha: float = 0.5,
+):
+    """Corpus unigram language model → ``(token, logp)``.
+
+    ``logp = log2((count + alpha) / (N + alpha * (V + 1)))`` — additive
+    smoothing over the corpus vocabulary; the ``+1`` reserves mass for
+    unseen tokens when the LM scores a DIFFERENT corpus (the CCNet /
+    KenLM-filtering use case: train on a clean reference corpus, score
+    candidates), carried as a reserved row under ``token = ''`` (the
+    empty string can never be a real token — the shared tokenizer strips
+    it).  Tokenization is :func:`whitespace_tokens` (the shared
+    cross-operator contract).
+
+    Scale shape: one explode + one hash aggregate keyed by token (partial
+    aggregation folds repeats map-side); the two scalar totals ride in
+    the same pass via a final tiny aggregate.  The vocabulary table is
+    (token, logp) — narrow, never collected.
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(whitespace_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    # scalar broadcast: totals is ONE row — a broadcast nested-loop join
+    # is the right plan (no key), not a collect (keeps the whole thing a
+    # single lazy DataFrame).
+    from pyspark.sql.functions import broadcast
+
+    with_unseen = counts.unionByName(
+        # the reserved unseen row: cnt 0 under the impossible '' token
+        counts.sparkSession.createDataFrame(
+            [("", 0)], "token string, cnt bigint"
+        )
+    )
+    return (
+        with_unseen.crossJoin(broadcast(totals))
+        .select(
+            "token",
+            F.log2(
+                (F.col("cnt") + F.lit(float(alpha)))
+                / (F.col("n") + F.lit(float(alpha)) * (F.col("v") + 1))
+            ).alias("logp"),
+        )
+    )
+
+
+def unigram_ppl_scores(
+    df,
+    lm=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_to: int | None = 6,
+):
+    """Per-document unigram cross-entropy + perplexity →
+    ``(id, n_tokens, bits_per_token, ppl)``.
+
+    ``bits_per_token = -sum(tf * logp) / n_tokens`` over the document's
+    tokens under ``lm`` (default: the self-LM of ``df`` — the CCNet-style
+    "how typical of this corpus is this page" signal; low perplexity =
+    boilerplate-like, high = noise/garble, both tails are filter
+    candidates).  ``ppl = 2^bits_per_token``.  Docs with no tokens keep a
+    row with ``n_tokens = 0`` and null scores.
+
+    Out-of-vocabulary tokens take the LM's reserved ``token = ''`` unseen
+    logp (present whenever the LM came from :func:`unigram_lm`).  If the
+    caller supplies an LM WITHOUT that row, any doc containing an OOV
+    token scores null (never a silent partial sum).
+
+    Scale shape: (doc, token, tf) pre-aggregation collapses in-doc
+    repeats map-side BEFORE the vocabulary join, the join is keyed by
+    token (both sides narrow; the LM side is vocabulary-sized — a plain
+    hash join, AQE splits hot stopword keys), and the per-doc roll-up is
+    one more partial-agg exchange.  Nothing is collected; no windows.
+    """
+    from pyspark.sql import functions as F
+
+    if lm is None:
+        lm = unigram_lm(df, text_col=text_col, alpha=alpha)
+    tf = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(whitespace_tokens(text_col)).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    unseen = lm.where(F.col("token") == "").agg(
+        F.min("logp").alias("unseen_logp")
+    )  # always exactly one row; unseen_logp null if the LM lacks the row
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        tf.join(lm.where(F.col("token") != ""), "token", "left")
+        .crossJoin(broadcast(unseen))
+        .withColumn("eff_logp", F.coalesce(F.col("logp"), F.col("unseen_logp")))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            # F.sum skips nulls, which would silently drop OOV mass —
+            # null the whole doc instead when any token has no logp
+            F.when(
+                F.max(F.col("eff_logp").isNull().cast("int")) == 1,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                -F.sum(F.col("tf") * F.col("eff_logp")) / F.sum("tf")
+            )
+            .alias("bits_per_token"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("ppl", F.pow(F.lit(2.0), F.col("bits_per_token")))
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "bits_per_token", F.round("bits_per_token", round_to)
+        ).withColumn("ppl", F.round("ppl", round_to))
+    return out

@@ -164,3 +164,59 @@ def test_normalize_text(spark):
     ).collect()
     by = {r["id"]: r["c"] for r in got2}
     assert "é" in by["a"] and "​" in by["a"] and "\r" in by["a"]
+
+
+def test_unigram_ppl_self_lm_and_edges(spark):
+    """Self-LM perplexity: hand-computed bits on a tiny corpus; null/blank
+    docs keep a row with n_tokens=0 and null scores."""
+    import math
+
+    from semantic_entity_matching_spark.functions.textops import (
+        unigram_ppl_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_ppl_scores(docs).collect()}
+    # counts: a=2, b=2, c=1; N=5, V=3; denom = 5 + 0.5*(3+1) = 7
+    la = math.log2(2.5 / 7)
+    lc = math.log2(1.5 / 7)
+    b1 = -(2 * la + la) / 3          # d1: a a b  (logp(b) == logp(a))
+    b2 = -(la + lc) / 2              # d2: b c
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["bits_per_token"] == round(b1, 6)
+    assert out[1]["ppl"] == round(2.0**b1, 6)
+    assert out[2]["bits_per_token"] == round(b2, 6)
+    for empty_id in (3, 4):
+        assert out[empty_id]["n_tokens"] == 0
+        assert out[empty_id]["bits_per_token"] is None
+        assert out[empty_id]["ppl"] is None
+
+
+def test_unigram_ppl_cross_corpus_oov(spark):
+    """Scoring a different corpus: OOV tokens take the reserved unseen
+    logp; an external LM WITHOUT the unseen row nulls OOV docs rather
+    than silently dropping their mass."""
+    import math
+
+    from semantic_entity_matching_spark.functions.textops import (
+        unigram_lm,
+        unigram_ppl_scores,
+    )
+
+    ref = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    lm = unigram_lm(ref)  # a=2, b=1; N=3, V=2; denom = 3 + 0.5*3 = 4.5
+    cand = spark.createDataFrame(
+        [(10, "a zzz")], "doc_id long, text string"
+    )
+    out = unigram_ppl_scores(cand, lm=lm).collect()[0].asDict()
+    la, lu = math.log2(2.5 / 4.5), math.log2(0.5 / 4.5)
+    assert out["n_tokens"] == 2
+    assert out["bits_per_token"] == round(-(la + lu) / 2, 6)
+
+    bare_lm = lm.where("token <> ''")  # strip the unseen row
+    out2 = unigram_ppl_scores(cand, lm=bare_lm).collect()[0].asDict()
+    assert out2["n_tokens"] == 2
+    assert out2["bits_per_token"] is None and out2["ppl"] is None
