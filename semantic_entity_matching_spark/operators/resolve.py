@@ -284,3 +284,56 @@ def estimate_fs_params(
         for j, c in enumerate(agree_cols)
     ]
     return fields, lam
+
+
+def fs_edges_from_features(
+    features: DataFrame,
+    agree_thresholds: tuple = (0.80, 0.90, 0.80),
+    posterior_threshold: float = 0.5,
+    feature_cols: tuple = ("cosine", "jaro_winkler", "levenshtein"),
+    id_cols: tuple = ("id_a", "id_b"),
+    prior_init: float = 0.3,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+) -> DataFrame:
+    """Unsupervised match edges from a scored candidate-pair table →
+    ``(id_a, id_b, score)`` where ``score`` is the FS posterior.
+
+    Each similarity feature becomes a 0/1 agreement at its threshold
+    (null feature → null agreement → zero weight), m/u/prior are EM-fit
+    on THIS candidate population (Splink's estimate-on-blocked-pairs
+    practice — blocking already discarded the hopeless non-matches, and
+    the EM prior absorbs the resulting match-enrichment), and pairs at or
+    above ``posterior_threshold`` become edges.
+
+    The EM collect is one aggregate over <= 3^F agreement patterns; the
+    scoring pass is pure codegen.  An empty candidate table yields an
+    empty edge table (no EM run)."""
+    if len(agree_thresholds) != len(feature_cols):
+        raise ValueError("one threshold per feature col")
+    g_cols = [f"g_{c}" for c in feature_cols]
+    feats = features
+    for c, g, t in zip(feature_cols, g_cols, agree_thresholds):
+        feats = feats.withColumn(
+            g,
+            F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+                (F.col(c) >= F.lit(float(t))).cast("int")
+            ),
+        )
+    empty_edges = feats.where(F.lit(False)).select(
+        *id_cols, F.lit(0.0).alias("score")
+    )
+    try:
+        fields, prior = estimate_fs_params(
+            feats,
+            g_cols,
+            prior_init=prior_init,
+            m_init=m_init,
+            u_init=u_init,
+        )
+    except ValueError:
+        return empty_edges
+    scored = fellegi_sunter_score(feats, fields, prior=prior)
+    return scored.where(
+        F.col("match_prob") >= F.lit(float(posterior_threshold))
+    ).select(*id_cols, F.col("match_prob").alias("score"))

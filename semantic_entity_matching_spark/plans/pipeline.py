@@ -90,6 +90,19 @@ class MatchConfig:
     # 256: int8 error < 0.02, sign-sketch error < 0.12); None = scheme
     # default (0.08 int8, 0.25 binary).
     quantize_margin: float | None = None
+    # 'blended' (default): weighted cosine+JW+lev vs match_threshold —
+    # the reference-parity path.  'fellegi_sunter': UNSUPERVISED edges —
+    # the three similarities become 0/1 agreement features at
+    # fs_agree_thresholds, m/u/prior are EM-fit on the blocked candidate
+    # population (Splink's estimate-on-blocked-pairs practice), and a
+    # pair becomes an edge when its posterior match probability reaches
+    # fs_posterior.  No labels, no hand-set match_threshold; the pruning
+    # bounds are disabled (every candidate needs all three features for
+    # honest u estimation), so the mode trades rerank compute for
+    # threshold-free operation.
+    scoring: str = "blended"
+    fs_agree_thresholds: tuple = (0.80, 0.90, 0.80)  # cosine, jw, lev
+    fs_posterior: float = 0.5
 
 
 @dataclass
@@ -251,7 +264,10 @@ def rerank_cosine_cutoff(config: MatchConfig) -> float:
 
 
 def rerank_pairs(
-    scored: DataFrame, records: DataFrame, config: MatchConfig
+    scored: DataFrame,
+    records: DataFrame,
+    config: MatchConfig,
+    prune: bool = True,
 ) -> DataFrame:
     """Stage 2 of scoring: expensive string metrics + blended score, only on
     pairs whose upper bound can still reach the threshold.  Joins the
@@ -273,7 +289,14 @@ def rerank_pairs(
     from semantic_entity_matching_spark.functions.similarity import DEFAULT_WEIGHTS
 
     w = config.score_weights or DEFAULT_WEIGHTS
-    survivors = scored.where(F.col("cosine") >= F.lit(rerank_cosine_cutoff(config)))
+    # prune=False (FS scoring): every candidate pair gets all three
+    # features — the blended-threshold bounds don't apply to FS edges and
+    # EM's u estimate needs the non-match population intact.
+    survivors = (
+        scored.where(F.col("cosine") >= F.lit(rerank_cosine_cutoff(config)))
+        if prune
+        else scored
+    )
     txt = records.select(
         F.col(config.id_col).alias("_rid"),
         F.substring(F.col(config.text_col), 1, config.rerank_max_chars).alias(
@@ -300,12 +323,13 @@ def rerank_pairs(
     )
     if config.score_round is not None:
         score_col = F.round(score_col, config.score_round)
+    out = survivors.withColumn(
+        "levenshtein", levenshtein_similarity_expr("text_a", "text_b")
+    )
+    if prune:
+        out = out.where(jw_upper_bound >= F.lit(config.match_threshold - 1e-6))
     return (
-        survivors.withColumn(
-            "levenshtein", levenshtein_similarity_expr("text_a", "text_b")
-        )
-        .where(jw_upper_bound >= F.lit(config.match_threshold - 1e-6))
-        .withColumn(
+        out.withColumn(
             "jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b"))
         )
         .withColumn("score", score_col)
@@ -437,16 +461,48 @@ def run_pipeline(
     scored = stage(
         "scored", lambda: score_pairs(pairs, records, config), "pairs_scored"
     )
-    reranked = stage(
-        "reranked", lambda: rerank_pairs(scored, records, config), "pairs_reranked"
-    )
-    edges = stage(
-        "edges",
-        lambda: reranked.where(F.col("score") >= config.match_threshold).select(
-            "id_a", "id_b", "score"
-        ),
-        "edges_emitted",
-    )
+    if config.scoring == "fellegi_sunter":
+        if config.quantization not in (None, "float"):
+            # the quantized pre-scoring path DROPS pairs below its approx
+            # cutoff — sound for blended-threshold edges, but it would
+            # silently skew the FS u estimate (EM needs the candidate
+            # population intact)
+            raise ValueError(
+                "scoring='fellegi_sunter' requires quantization=None"
+            )
+        from semantic_entity_matching_spark.operators.resolve import (
+            fs_edges_from_features,
+        )
+
+        reranked = stage(
+            "reranked",
+            lambda: rerank_pairs(scored, records, config, prune=False),
+            "pairs_reranked",
+        )
+        edges = stage(
+            "edges",
+            lambda: fs_edges_from_features(
+                reranked,
+                agree_thresholds=config.fs_agree_thresholds,
+                posterior_threshold=config.fs_posterior,
+            ),
+            "edges_emitted",
+        )
+    elif config.scoring == "blended":
+        reranked = stage(
+            "reranked",
+            lambda: rerank_pairs(scored, records, config),
+            "pairs_reranked",
+        )
+        edges = stage(
+            "edges",
+            lambda: reranked.where(
+                F.col("score") >= config.match_threshold
+            ).select("id_a", "id_b", "score"),
+            "edges_emitted",
+        )
+    else:
+        raise ValueError(f"unknown scoring mode: {config.scoring!r}")
     clusters = stage(
         "clusters",
         lambda: clusters_from_pairs(

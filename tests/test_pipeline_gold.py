@@ -175,3 +175,35 @@ def test_checkpoint_manifest_partition_lineage(spark, tmp_path):
     assert sum(m["partition_rows"].values()) == 1000
     # manifest round-trips from disk identically
     assert cp.manifest("t")["partition_rows"] == m["partition_rows"]
+
+
+def test_fs_scoring_unsupervised_f1(spark, corpus):
+    """scoring='fellegi_sunter': UNSUPERVISED edges — EM fits m/u/prior on
+    the blocked candidate population, no hand-set match_threshold — must
+    still hit the F1 gate on the gold pairs, and the quantized-prescore
+    combination is rejected (it would skew the u estimate)."""
+    pages, gold = corpus
+    result = run_pipeline(pages, MatchConfig(scoring="fellegi_sunter"))
+    m = pairwise_metrics(predicted_pairs_from_clusters(result.clusters), gold)
+    assert m.f1 >= 0.99, (
+        f"FS F1={m.f1:.4f} (p={m.precision:.4f} r={m.recall:.4f} "
+        f"tp={m.true_positives} fp={m.false_positives} fn={m.false_negatives})"
+    )
+    # posterior scores are probabilities
+    row = result.edges.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).collect()[0]
+    assert 0.5 <= row["lo"] and row["hi"] <= 1.0
+
+    with pytest.raises(ValueError, match="quantization"):
+        run_pipeline(pages, MatchConfig(scoring="fellegi_sunter",
+                                        quantization="int8"))
+    with pytest.raises(ValueError, match="scoring"):
+        run_pipeline(pages, MatchConfig(scoring="nonsense"))
+
+
+def test_fs_scoring_empty_input(spark, corpus):
+    pages, _ = corpus
+    result = run_pipeline(pages.limit(0), MatchConfig(scoring="fellegi_sunter"))
+    assert result.clusters.count() == 0
+    assert result.counters["edges_emitted"] == 0
