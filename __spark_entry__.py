@@ -1693,6 +1693,37 @@ def q68_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-merge audit over the flagship clustering (q23's exact
+    pipeline): per cluster, how many member pairs carry a DIRECT match
+    edge vs. were glued by transitivity.  Low density = chain-merge risk
+    — the standard ER review signal.  The oracle replays the whole
+    pipeline (q23's CTE chain) plus the density roll-up."""
+    from semantic_entity_matching_spark.operators.evaluate import (
+        cluster_cohesion,
+    )
+    from semantic_entity_matching_spark.plans.pipeline import (
+        MatchConfig,
+        run_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    config = MatchConfig(
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+        score_round=6,
+    )
+    result = run_pipeline(docs, config)
+    return cluster_cohesion(result.clusters, result.edges).select(
+        F.col("cluster").alias("cluster_id"),
+        "size",
+        "n_edges",
+        "possible_pairs",
+        "density",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1763,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_golden_record": q66_golden_record,
         "q67_fellegi_sunter": q67_fellegi_sunter,
         "q68_unigram_ppl": q68_unigram_ppl,
+        "q69_cluster_cohesion": q69_cluster_cohesion,
     }
 
 
@@ -2321,7 +2353,10 @@ def oracle_sql() -> dict[str, str]:
         % (j + 1, 16 ** (7 - j))
         for j in range(8)
     )
-    sql["q23_entity_clusters"] = f"""
+    # the full-pipeline CTE chain (embed → cosine → rerank → edges →
+    # reachability) is shared by q23 (cluster labels) and q69 (per-cluster
+    # edge-density audit)
+    _q23_cte = f"""
         WITH RECURSIVE toks AS (
             SELECT doc_id,
                    unnest(list_filter(
@@ -2386,8 +2421,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, doc_id FROM documents
             UNION
             SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
-        )
+        )"""
+    sql["q23_entity_clusters"] = _q23_cte + """
         SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+    """
+
+    # q69 — cohesion audit on the same pipeline: density = direct edges /
+    # (size choose 2); integer product is even so the /2 cast is exact;
+    # singletons keep null density.
+    sql["q69_cluster_cohesion"] = _q23_cte + """, comps AS (
+            SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id
+        ), sizes AS (
+            SELECT cluster_id, COUNT(*) AS size FROM comps GROUP BY cluster_id
+        ), intra AS (
+            SELECT ca.cluster_id, COUNT(*) AS n_edges
+            FROM edges0 e
+            JOIN comps ca ON ca.id = e.id_a
+            JOIN comps cb ON cb.id = e.id_b
+            WHERE ca.cluster_id = cb.cluster_id
+            GROUP BY ca.cluster_id
+        )
+        SELECT s.cluster_id, s.size,
+               COALESCE(i.n_edges, 0) AS n_edges,
+               CAST(s.size * (s.size - 1) / 2 AS BIGINT) AS possible_pairs,
+               CASE WHEN s.size > 1
+                    THEN round(CAST(COALESCE(i.n_edges, 0) AS DOUBLE)
+                               / CAST(s.size * (s.size - 1) / 2 AS DOUBLE),
+                               6)
+               END AS density
+        FROM sizes s LEFT JOIN intra i USING (cluster_id)
     """
 
     # null column values embed to NULL (provider convention), so dims and

@@ -231,3 +231,63 @@ def top_k_metric(ranked_gold: DataFrame, k: int, rank_col: str = "rank") -> floa
         ).alias("pct")
     ).collect()[0]
     return float(row["pct"] or 0.0)
+
+
+def cluster_cohesion(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "component",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-cluster transitive-merge audit →
+    ``(cluster, size, n_edges, possible_pairs, density)``.
+
+    ``density = n_edges / (size choose 2)`` — the fraction of a cluster's
+    member pairs that carry a DIRECT match edge.  Connected components
+    merge by transitivity; a low-density cluster was glued by chains of
+    pairwise matches that never compared its far ends — THE operational
+    risk signal of transitive ER (flag for review / a stricter second
+    pass).  Singletons report null density.
+
+    Scale shape: one size aggregate + two id-keyed joins tagging each
+    edge endpoint with its cluster + one cluster-keyed count.  Edges of
+    a cluster land in one partition only for the final tiny aggregate;
+    nothing is windowed or sorted.
+    """
+    sizes = clusters.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    ca = clusters.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("_ca")
+    )
+    cb = clusters.select(
+        F.col(id_col).alias("id_b"), F.col(cluster_col).alias("_cb")
+    )
+    intra = (
+        edges.select("id_a", "id_b")
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = (
+        sizes.join(intra, "cluster", "left")
+        .withColumn("n_edges", F.coalesce(F.col("n_edges"), F.lit(0)))
+        .withColumn(
+            "possible_pairs",
+            (F.col("size") * (F.col("size") - 1) / F.lit(2)).cast("bigint"),
+        )
+        .withColumn(
+            "density",
+            F.when(
+                F.col("possible_pairs") > 0,
+                F.col("n_edges").cast("double")
+                / F.col("possible_pairs").cast("double"),
+            ),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("density", F.round("density", round_to))
+    return out

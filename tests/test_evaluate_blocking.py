@@ -98,3 +98,37 @@ def test_bcubed_inner_join_on_ids(spark):
     # pred cluster {1,2}: P(1)=P(2)=1/2; gold singletons: R=1
     assert row["bcubed_precision"] == 0.5
     assert row["bcubed_recall"] == 1.0
+
+
+def test_cluster_cohesion_density_and_singletons(spark):
+    """Chain-merged cluster {1,2,3} with edges (1-2, 2-3): 2 direct edges
+    of 3 possible pairs -> density 2/3; complete pair cluster {4,5} ->
+    density 1; singleton {6} -> null density, 0 possible pairs; a stray
+    cross-cluster edge is NOT counted for either cluster."""
+    from semantic_entity_matching_spark.operators.evaluate import (
+        cluster_cohesion,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "id long, component long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (3, 4)],  # (3,4) crosses clusters
+        "id_a long, id_b long",
+    )
+    out = {
+        r["cluster"]: r.asDict()
+        for r in cluster_cohesion(clusters, edges).collect()
+    }
+    assert out[1]["size"] == 3
+    assert out[1]["n_edges"] == 2
+    assert out[1]["possible_pairs"] == 3
+    assert out[1]["density"] == round(2 / 3, 6)
+    assert out[4] == {
+        "cluster": 4, "size": 2, "n_edges": 1,
+        "possible_pairs": 1, "density": 1.0,
+    }
+    assert out[6]["n_edges"] == 0
+    assert out[6]["possible_pairs"] == 0
+    assert out[6]["density"] is None
