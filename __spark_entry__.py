@@ -1724,6 +1724,31 @@ def q69_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL scan contract over a committed fixture with nested structs,
+    arrays, nulls, a missing-fields line, unicode, and one MALFORMED line.
+    Both engines anchor validity on ``id IS NOT NULL``: Spark captures
+    the corrupt line (PERMISSIVE + _corrupt) and drops it; DuckDB's
+    ignore_errors turns it into an all-null row the filter removes."""
+    from semantic_entity_matching_spark.sources.readers import read_jsonl
+
+    ddl = (
+        "id bigint, title string, "
+        "props struct<lang: string, score: double>, tags array<string>"
+    )
+    df = read_jsonl(
+        spark, "/root/repo/fixtures/q70_docs.jsonl", schema=ddl,
+        drop_corrupt=True,
+    )
+    return df.where(F.col("id").isNotNull()).select(
+        "id",
+        "title",
+        F.col("props.lang").alias("lang"),
+        F.round(F.col("props.score"), 2).alias("score"),
+        F.size("tags").cast("bigint").alias("n_tags"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1795,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_fellegi_sunter": q67_fellegi_sunter,
         "q68_unigram_ppl": q68_unigram_ppl,
         "q69_cluster_cohesion": q69_cluster_cohesion,
+        "q70_jsonl_scan": q70_jsonl_scan,
     }
 
 
@@ -3868,6 +3894,22 @@ def oracle_sql() -> dict[str, str]:
                round(s.bits, 6) AS bits_per_token,
                round(power(2.0::DOUBLE, s.bits), 6) AS ppl
         FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # q70 — JSONL scan: DuckDB's ignore_errors nulls the malformed line
+    # (it does NOT skip it), so validity anchors on id IS NOT NULL in
+    # both engines; len(NULL array) is NULL on both.
+    sql["q70_jsonl_scan"] = """
+        SELECT id, title, props.lang AS lang,
+               round(props.score, 2) AS score,
+               len(tags) AS n_tags
+        FROM read_json('/root/repo/fixtures/q70_docs.jsonl',
+                       format='newline_delimited',
+                       columns={'id': 'BIGINT', 'title': 'VARCHAR',
+                                'props': 'STRUCT(lang VARCHAR, score DOUBLE)',
+                                'tags': 'VARCHAR[]'},
+                       ignore_errors=true)
+        WHERE id IS NOT NULL
     """
 
     return sql

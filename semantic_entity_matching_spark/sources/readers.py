@@ -209,3 +209,35 @@ def resume_anti_join(
     return incoming.join(
         already_written.select(key).distinct(), key, "left_anti"
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    drop_corrupt: bool = False,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """Newline-delimited JSON scan — the training-data interchange format.
+
+    ``schema`` is a DDL string and should ALWAYS be passed in production:
+    without it Spark runs a full inference pass over the data before the
+    real scan (at 100 TB that is a second read of the corpus).  With a
+    schema the scan is single-pass, the reader prunes to referenced
+    columns, and filter pushdown applies.
+
+    Malformed lines never abort the scan (PERMISSIVE): they surface as
+    rows whose data fields are all null with the raw line captured in
+    ``corrupt_col`` — audit them (``where(col(corrupt_col).isNotNull())``)
+    or pass ``drop_corrupt=True`` to filter and hide the column.  Fields
+    missing from a valid line are plain nulls, not corruption.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(f"{schema}, {corrupt_col} string").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    df = reader.json(path)
+    if schema is not None and drop_corrupt:
+        df = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return df

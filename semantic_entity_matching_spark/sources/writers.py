@@ -238,3 +238,25 @@ class TableSink:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.table} PURGE")
             return
         shutil.rmtree(self.path, ignore_errors=True)  # ignore-404 analog
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by: tuple | None = None,
+) -> None:
+    """Newline-delimited JSON sink — the training-data export format.
+
+    One file per partition (compose with ``repartition(n)`` upstream to
+    pick shard count/size); ``compression='gzip'|'zstd'`` for wire-format
+    exports; ``partition_by`` for hive-layout exports (e.g. by lang).
+    Struct/array columns serialize as nested JSON; binary columns are not
+    JSON-representable — drop or base64 them upstream."""
+    w = df.write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

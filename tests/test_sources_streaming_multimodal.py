@@ -464,3 +464,48 @@ def test_incremental_match_stream(spark, tmp_path):
     assert got["in/2"] is None
     assert got["in/3"] == "ref/globex"
     index.unpersist()
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL sink/scan: schema'd single-pass read, nested/array columns
+    survive the round trip, malformed lines are captured (never abort,
+    never silently vanish), drop_corrupt filters them."""
+    from semantic_entity_matching_spark.sources.readers import read_jsonl
+    from semantic_entity_matching_spark.sources.writers import write_jsonl
+
+    ddl = (
+        "id bigint, title string, "
+        "props struct<lang: string, score: double>, tags array<string>"
+    )
+    rows = [
+        (1, "Alpha", ("en", 0.9), ["a", "b"]),
+        (2, None, (None, None), None),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df.repartition(1), out)
+    back = read_jsonl(spark, out, schema=ddl, drop_corrupt=True)
+
+    def canon(frame):
+        return sorted(
+            (r.asDict(recursive=True) for r in frame.collect()),
+            key=lambda d: d["id"],
+        )
+
+    assert canon(back) == canon(df)
+
+    # plant a corrupt line next to a valid file
+    bad = tmp_path / "mixed"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"id": 1, "title": "ok", "props": {"lang": "en", "score": 1.0},'
+        ' "tags": []}\nBROKEN {{{\n'
+    )
+    got = read_jsonl(spark, str(bad), schema=ddl)
+    assert got.count() == 2
+    corrupt = got.where("_corrupt is not null").collect()
+    assert len(corrupt) == 1 and corrupt[0]["id"] is None
+    assert "BROKEN" in corrupt[0]["_corrupt"]
+    kept = read_jsonl(spark, str(bad), schema=ddl, drop_corrupt=True)
+    assert [r["id"] for r in kept.collect()] == [1]
+    assert "_corrupt" not in kept.columns
