@@ -318,6 +318,76 @@ def main() -> None:
         else "Window/rangepartitioning leaked into the span-dedup plan",
     )
 
+    # 13. golden-record survivorship is aggregate-only — the modal pick
+    # must be the melt + count + min(struct) formulation, never a Window
+    # over the melted table (hot mega-clusters would pile into one sort
+    # partition).
+    e_gr = explained_of(E.q66_golden_record(spark, SF)).lower()
+    has_gr_window = bool(
+        _re.search(
+            r"(?:^|[-+:\s])\(\d+\)\s+window(?:grouplimit)?\b"
+            r"|^[\s:+|-]*window(?:grouplimit)?\s+\(\d+\)",
+            e_gr,
+            _re.M,
+        )
+    )
+    ok_gr = not has_gr_window and "rangepartitioning" not in e_gr
+    check(
+        "golden_record_no_window",
+        ok_gr,
+        "aggregate-only modal pick (no Window, no rangepartitioning)"
+        if ok_gr
+        else "Window/rangepartitioning leaked into the golden-record plan",
+    )
+
+    # 14. FS scoring is pure codegen: the baked-in log-weight literals
+    # must not drag a Python eval node into the pair table's hot path.
+    e_fs = explained_of(E.q67_fellegi_sunter(spark, SF)).lower()
+    ok_fs = "evalpython" not in e_fs
+    check(
+        "fs_scoring_jvm_only",
+        ok_fs,
+        "no Python eval node in the FS scoring plan"
+        if ok_fs
+        else "Python eval node leaked into FS scoring",
+    )
+
+    # 15. SemDeDup nearest-centroid assignment is a single map: no
+    # Exchange before the mapInPandas (the centroid matrix rides in the
+    # closure; any shuffle here would be pure waste at corpus scale).
+    from semantic_entity_matching_spark.operators.dedup import (
+        assign_nearest_centroid,
+        hash_centroid_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e_asn = explained_of(
+        assign_nearest_centroid(emb, hash_centroid_vectors(8, 64))
+    ).lower()
+    ok_asn = "exchange" not in e_asn
+    check(
+        "semdedup_assign_no_shuffle",
+        ok_asn,
+        "centroid assignment plan has zero exchanges"
+        if ok_asn
+        else "an Exchange leaked into the SemDeDup assignment map",
+    )
+
+    # 16. unigram-perplexity scoring joins the 1-row totals via broadcast
+    # (never a CartesianProduct) and the vocabulary join is a hash join,
+    # never a corpus-side broadcast of the (vocab-sized) LM table built
+    # on the driver... a BroadcastNLJ over ONE row is the right plan; a
+    # CartesianProduct anywhere is not.
+    e_ppl = explained_of(E.q68_unigram_ppl(spark, SF)).lower()
+    ok_ppl = "cartesianproduct" not in e_ppl
+    check(
+        "unigram_ppl_no_cartesian",
+        ok_ppl,
+        "scalar totals ride a broadcast join; no CartesianProduct"
+        if ok_ppl
+        else "CartesianProduct leaked into the perplexity plan",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
