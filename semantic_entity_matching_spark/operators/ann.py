@@ -253,7 +253,10 @@ def train_ivf_centroids(
     footer_n = parquet_footer_row_count(corpus)
     n_vecs = footer_n if footer_n is not None else src.count()
     rows = _ivf_sample_plan(src, n_vecs, sample_n).collect()
-    if footer_n is not None and len(rows) < sample_n and n_vecs > 2 * sample_n:
+    # redo only if the modulus actually FILTERED (mod > 1 requires
+    # n_vecs >= 4*sample_n): with mod == 1 every row already survived, so
+    # an exact recount would re-collect the identical set for nothing
+    if footer_n is not None and len(rows) < sample_n and n_vecs >= 4 * sample_n:
         # the footer total counts ALL rows of the underlying files, but a
         # selective filter on the corpus (e.g. lang='en' keeping 1%) can
         # shrink the post-filter population far below it — the modulus is

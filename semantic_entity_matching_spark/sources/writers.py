@@ -112,10 +112,13 @@ class TableSink:
         )
 
     def _current_snapshot_id(self) -> int | None:
+        # the main BRANCH ref is the table's true current snapshot;
+        # ordering snapshots by committed_at is nondeterministic within a
+        # millisecond and can hand back a concurrent writer's commit
         row = self.spark.sql(
             f"""
-            SELECT snapshot_id FROM {self.table}.snapshots
-            ORDER BY committed_at DESC LIMIT 1
+            SELECT snapshot_id FROM {self.table}.refs
+            WHERE name = 'main' AND type = 'BRANCH'
             """
         ).first()
         return None if row is None else int(row["snapshot_id"])
@@ -150,8 +153,19 @@ class TableSink:
             # calls against one table in the same session must not clobber
             # each other's source view
             view = f"_sink_incoming_{uuid.uuid4().hex}"
+            # stamp this call's commit: Iceberg copies the session's
+            # spark.wap.id into the new snapshot's summary as 'wap.id'
+            # (public write-audit-publish hook; with write.wap.enabled
+            # unset the snapshot publishes normally), which is the only
+            # way to ATTRIBUTE a snapshot to this MERGE under concurrent
+            # writers — snapshot counts and committed_at ordering both
+            # misattribute (a no-op-elided MERGE next to one concurrent
+            # commit looks exactly like one uncontended commit of ours)
+            token = uuid.uuid4().hex
+            prev_wap = self.spark.conf.get("spark.wap.id", None)
             df.createOrReplaceTempView(view)
             try:
+                self.spark.conf.set("spark.wap.id", token)
                 self.spark.sql(
                     f"""
                     MERGE INTO {self.table} t
@@ -161,51 +175,50 @@ class TableSink:
                     """
                 )
             finally:
+                if prev_wap is None:
+                    self.spark.conf.unset("spark.wap.id")
+                else:
+                    self.spark.conf.set("spark.wap.id", prev_wap)
                 self.spark.catalog.dropTempView(view)
             if has_snapshots:
                 # rows written = THIS MERGE commit's added-records snapshot
                 # summary — catalog metadata, no table scan.  Iceberg
                 # elides no-op commits (a MERGE that changes nothing may
                 # create no snapshot), so an unchanged current-snapshot-id
-                # means 0 rows.  Otherwise walk the parent_id LINEAGE from
-                # the current snapshot back to the pre-MERGE one: exactly
-                # one new snapshot in the chain means it is unambiguously
-                # ours (the common, uncontended case — read ITS summary,
-                # never "latest by committed_at", whose ordering is
-                # nondeterministic within a millisecond and attributes a
-                # concurrent writer's commit to this call).  More than one
-                # new snapshot means concurrent writers interleaved and no
-                # metadata query can attribute added-records to us — fall
-                # back to the exact answer: count incoming keys absent
-                # from the pre-MERGE table state (one time-travel
-                # anti-join scan, paid only under write contention).
+                # means 0 rows.  Otherwise scan the snapshots committed
+                # since the call began (bounded by the pre-MERGE commit
+                # time — never the whole metadata table, which grows
+                # without bound under a streaming sink) for OUR wap.id
+                # stamp: found → its added-records is exact; absent in a
+                # runtime that doesn't stamp summaries → fall back to a
+                # time-travel anti-join of incoming keys vs the pre-MERGE
+                # state (exact when uncontended; under interleaved writers
+                # inserting the same keys it is best-effort, and no
+                # metadata can do better without the stamp).
                 after_snapshot = self._current_snapshot_id()
                 if after_snapshot is None or after_snapshot == before_snapshot:
                     return 0
-                lineage = {
-                    int(r["snapshot_id"]): (
-                        None if r["parent_id"] is None else int(r["parent_id"]),
-                        r["added"],
-                    )
-                    for r in self.spark.sql(
-                        f"""
-                        SELECT snapshot_id, parent_id,
-                               summary['added-records'] AS added
-                        FROM {self.table}.snapshots
-                        """
-                    ).collect()
-                }
-                new_ids: list[int] = []
-                cur: int | None = after_snapshot
-                while (
-                    cur is not None
-                    and cur != before_snapshot
-                    and cur in lineage
-                ):
-                    new_ids.append(cur)
-                    cur = lineage[cur][0]
-                if len(new_ids) == 1:
-                    return int(lineage[new_ids[0]][1] or 0)
+                since = (
+                    ""
+                    if before_snapshot is None
+                    else f"""
+                        WHERE committed_at >= (
+                          SELECT committed_at FROM {self.table}.snapshots
+                          WHERE snapshot_id = {before_snapshot})
+                    """
+                )
+                recent = self.spark.sql(
+                    f"""
+                    SELECT snapshot_id,
+                           summary['wap.id'] AS wap_id,
+                           summary['added-records'] AS added
+                    FROM {self.table}.snapshots
+                    {since}
+                    """
+                ).collect()
+                ours = [r for r in recent if r["wap_id"] == token]
+                if ours:
+                    return int(ours[0]["added"] or 0)
                 if before_snapshot is None:
                     # table existed with no snapshot: the pre-MERGE state
                     # was empty, so every incoming (deduped) key was absent

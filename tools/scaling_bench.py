@@ -364,21 +364,32 @@ def run_level(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, env=env, start_new_session=True,
         )
+        # start_new_session detaches the leg from OUR foreground process
+        # group, so Ctrl+C no longer reaches it — kill the whole group on
+        # EVERY abnormal exit path (timeout, KeyboardInterrupt, anything),
+        # not just on timeout, or the worker + its py4j JVM outlive the
+        # bench holding all pinned cores.
+        finished = False
         try:
-            out, err = proc.communicate(timeout=LEG_TIMEOUT)
-        except subprocess.TimeoutExpired:
             try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-            proc.wait()
-            print(
-                f"leg (cores={local_cores or EXEC_CORES * execs}) hung past "
-                f"{LEG_TIMEOUT}s — killed (whole process group), "
-                f"retry {attempt + 1}/1",
-                file=sys.stderr,
-            )
-            last_err = f"timeout after {LEG_TIMEOUT}s"
+                out, err = proc.communicate(timeout=LEG_TIMEOUT)
+                finished = True
+            except subprocess.TimeoutExpired:
+                print(
+                    f"leg (cores={local_cores or EXEC_CORES * execs}) hung "
+                    f"past {LEG_TIMEOUT}s — killed (whole process group), "
+                    f"retry {attempt + 1}/1",
+                    file=sys.stderr,
+                )
+                last_err = f"timeout after {LEG_TIMEOUT}s"
+        finally:
+            if not finished:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+        if not finished:
             continue
         proc = subprocess.CompletedProcess(cmd, proc.returncode, out, err)
         for line in proc.stdout.splitlines():
