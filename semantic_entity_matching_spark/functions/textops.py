@@ -763,6 +763,14 @@ def unigram_lm(
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    return _lm_from_counts(counts, alpha)
+
+
+def _lm_from_counts(counts, alpha: float):
+    """Smoothed ``(token, logp)`` LM from a ``(token, cnt)`` table (plus
+    the reserved unseen row)."""
+    from pyspark.sql import functions as F
+
     totals = counts.agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
     )
@@ -820,8 +828,6 @@ def unigram_ppl_scores(
     """
     from pyspark.sql import functions as F
 
-    if lm is None:
-        lm = unigram_lm(df, text_col=text_col, alpha=alpha)
     tf = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -831,6 +837,17 @@ def unigram_ppl_scores(
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    if lm is None:
+        # self-LM: derive the corpus counts from the tf pre-aggregate
+        # (sum of per-doc tfs == global token count) instead of a second
+        # independent tokenize+explode of the corpus — the tf exchange is
+        # shared between the LM branch and the scoring join (one scan)
+        lm = _lm_from_counts(
+            tf.groupBy("token").agg(
+                F.sum("tf").cast("bigint").alias("cnt")
+            ),
+            alpha,
+        )
     unseen = lm.where(F.col("token") == "").agg(
         F.min("logp").alias("unseen_logp")
     )  # always exactly one row; unseen_logp null if the LM lacks the row

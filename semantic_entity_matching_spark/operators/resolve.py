@@ -279,6 +279,15 @@ def estimate_fs_params(
         m, u, lam = m_new, u_new, lam_new
         if delta < tol:
             break
+    # Label-switch repair: the two-component likelihood is IDENTICAL under
+    # (m, u, lam) -> (u, m, 1-lam), and on match-dominated candidate
+    # populations EM happily converges to the mirrored optimum — which
+    # would score NON-matches high (Splink guards the same failure by
+    # asserting m > u).  By convention the "match" component is the one
+    # where agreement is more likely: if the fields on average say
+    # otherwise, relabel.
+    if float(np.mean(m - u)) < 0.0:
+        m, u, lam = u, m, 1.0 - lam
     fields = [
         FSField(col=c, m=float(m[j]), u=float(u[j]))
         for j, c in enumerate(agree_cols)
@@ -323,6 +332,12 @@ def fs_edges_from_features(
     empty_edges = feats.where(F.lit(False)).select(
         *id_cols, F.lit(0.0).alias("score")
     )
+    # cut the lineage ONCE before the EM collect: the feature table sits
+    # on top of the pipeline's most expensive stage (unpruned Python JW
+    # over every candidate pair) and is consumed again by the scoring
+    # pass and by everything downstream of the returned edges — without
+    # this it would recompute per consumer.
+    feats = feats.localCheckpoint()
     try:
         fields, prior = estimate_fs_params(
             feats,

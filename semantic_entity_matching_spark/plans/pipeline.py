@@ -365,6 +365,20 @@ def run_pipeline(
     from semantic_entity_matching_spark.plans.reporting import NullReporter
 
     config = config or MatchConfig()
+    # pure-config validation belongs BEFORE any stage executes: the stages
+    # run eagerly (each is counted), so a late raise would burn the whole
+    # expensive front of the pipeline on a config that can never finish
+    if config.scoring not in ("blended", "fellegi_sunter"):
+        raise ValueError(f"unknown scoring mode: {config.scoring!r}")
+    if config.scoring == "fellegi_sunter" and config.quantization not in (
+        None,
+        "float",
+    ):
+        # the quantized pre-scoring path DROPS pairs below its approx
+        # cutoff — sound for blended-threshold edges, but it would
+        # silently skew the FS u estimate (EM needs the candidate
+        # population intact)
+        raise ValueError("scoring='fellegi_sunter' requires quantization=None")
     counters: dict[str, int] = {}
     reporter = reporter or NullReporter()
     reporter.start_progress(total=N_PIPELINE_STAGES)
@@ -462,14 +476,6 @@ def run_pipeline(
         "scored", lambda: score_pairs(pairs, records, config), "pairs_scored"
     )
     if config.scoring == "fellegi_sunter":
-        if config.quantization not in (None, "float"):
-            # the quantized pre-scoring path DROPS pairs below its approx
-            # cutoff — sound for blended-threshold edges, but it would
-            # silently skew the FS u estimate (EM needs the candidate
-            # population intact)
-            raise ValueError(
-                "scoring='fellegi_sunter' requires quantization=None"
-            )
         from semantic_entity_matching_spark.operators.resolve import (
             fs_edges_from_features,
         )
@@ -488,7 +494,7 @@ def run_pipeline(
             ),
             "edges_emitted",
         )
-    elif config.scoring == "blended":
+    else:  # 'blended' — validated at entry
         reranked = stage(
             "reranked",
             lambda: rerank_pairs(scored, records, config),
@@ -501,8 +507,6 @@ def run_pipeline(
             ).select("id_a", "id_b", "score"),
             "edges_emitted",
         )
-    else:
-        raise ValueError(f"unknown scoring mode: {config.scoring!r}")
     clusters = stage(
         "clusters",
         lambda: clusters_from_pairs(

@@ -232,6 +232,12 @@ def read_jsonl(
     or pass ``drop_corrupt=True`` to filter and hide the column.  Fields
     missing from a valid line are plain nulls, not corruption.
     """
+    if drop_corrupt and schema is None:
+        # with an inferred schema Spark routes corrupt lines to its own
+        # default column, not ours — silently honoring the flag would
+        # leave malformed lines in as all-null rows the caller believes
+        # were dropped
+        raise ValueError("drop_corrupt=True requires an explicit schema")
     reader = spark.read.option("mode", "PERMISSIVE")
     if schema is not None:
         reader = reader.schema(f"{schema}, {corrupt_col} string").option(

@@ -13,12 +13,21 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantic_entity_matching_spark.sources.readers import resume_anti_join
+
+# spark.wap.id is SESSION-global mutable state: two threads stamping their
+# MERGEs concurrently in one SparkSession would overwrite each other's
+# token (and restore it mid-flight), misattributing both counts — the
+# stamp→MERGE→attribute window must be serialized per process.  Separate
+# sessions/processes are unaffected (Iceberg serializes the actual commits
+# at the catalog).
+_WAP_STAMP_LOCK = threading.Lock()
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -162,23 +171,26 @@ class TableSink:
             # misattribute (a no-op-elided MERGE next to one concurrent
             # commit looks exactly like one uncontended commit of ours)
             token = uuid.uuid4().hex
-            prev_wap = self.spark.conf.get("spark.wap.id", None)
             df.createOrReplaceTempView(view)
             try:
-                self.spark.conf.set("spark.wap.id", token)
-                self.spark.sql(
-                    f"""
-                    MERGE INTO {self.table} t
-                    USING {view} s
-                    ON t.{self.key} = s.{self.key}
-                    WHEN NOT MATCHED THEN INSERT *
-                    """
-                )
+                with _WAP_STAMP_LOCK:
+                    prev_wap = self.spark.conf.get("spark.wap.id", None)
+                    try:
+                        self.spark.conf.set("spark.wap.id", token)
+                        self.spark.sql(
+                            f"""
+                            MERGE INTO {self.table} t
+                            USING {view} s
+                            ON t.{self.key} = s.{self.key}
+                            WHEN NOT MATCHED THEN INSERT *
+                            """
+                        )
+                    finally:
+                        if prev_wap is None:
+                            self.spark.conf.unset("spark.wap.id")
+                        else:
+                            self.spark.conf.set("spark.wap.id", prev_wap)
             finally:
-                if prev_wap is None:
-                    self.spark.conf.unset("spark.wap.id")
-                else:
-                    self.spark.conf.set("spark.wap.id", prev_wap)
                 self.spark.catalog.dropTempView(view)
             if has_snapshots:
                 # rows written = THIS MERGE commit's added-records snapshot

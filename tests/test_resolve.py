@@ -24,7 +24,7 @@ def test_golden_record_mode_ties_nulls_and_types(spark):
             (1, "red", None, 10, 5.0),
             (2, "red", None, 2, 7.0),
             (3, "blue", None, 10, None),
-            (4, "blue", "x", 2, 1.0),  # singleton via nk? no — cluster map below
+            (4, "blue", "x", 2, 1.0),
             (5, "green", "x", 7, 3.0),
         ],
         "id long, color string, code string, nk int, bal double",
@@ -151,3 +151,35 @@ def test_estimate_fs_params_recovers_planted(spark):
     scored = fellegi_sunter_score(pairs, fields, prior=lam)
     hi = scored.where("match_prob >= 0.5").count()
     assert abs(hi - n_match) / n_match < 0.25
+
+
+def test_estimate_fs_params_label_switch_repair(spark):
+    """The two-component likelihood is identical under (m,u,lam) ->
+    (u,m,1-lam); initializing EM on the mirrored side MUST still come
+    back with the match component = the agreement-likely one."""
+    rng = np.random.RandomState(1)
+    m_true = np.array([0.95, 0.85, 0.75, 0.90])
+    u_true = np.array([0.05, 0.20, 0.30, 0.10])
+    g = np.vstack(
+        [
+            (rng.rand(2_000, 4) < m_true).astype(int),
+            (rng.rand(8_000, 4) < u_true).astype(int),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [(int(i), *map(int, g[i])) for i in range(len(g))],
+        "pid long, g0 int, g1 int, g2 int, g3 int",
+    )
+    # mirrored init: m_init < u_init drives EM to the swapped optimum
+    fields, lam = estimate_fs_params(
+        pairs,
+        ["g0", "g1", "g2", "g3"],
+        prior_init=0.7,
+        m_init=0.15,
+        u_init=0.8,
+    )
+    m_hat = np.array([f.m for f in fields])
+    u_hat = np.array([f.u for f in fields])
+    assert (m_hat > u_hat).all()
+    assert np.abs(m_hat - m_true).max() < 0.05
+    assert abs(lam - 0.2) < 0.02
