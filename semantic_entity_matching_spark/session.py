@@ -68,7 +68,15 @@ def get_session(
         # the right trade at 100 TB (cheap CPU, splittable with parquet).
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # 12g, not bigger: the round-1 "8g chokes at local[32]" finding
+        # still holds, but an oversized heap is actively harmful on a
+        # long-lived Firecracker guest — in the fragmented-VM state the
+        # 32g default measured 2-3x SLOWER than 12g across the headline
+        # bench (q23 41-67s vs 21-29s, bench total 144s vs 52s, machine
+        # sys>>user during the 32g runs: every extra GB is more page
+        # compaction for khugepaged to chew).  All workloads incl. the
+        # 964.9k-pair q21 contract and 120k-page legs fit in 12g.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     # Local mode: shuffle spill files on the default /tmp disk serialize the
