@@ -505,7 +505,7 @@ def main() -> None:
         return
 
     input_dir = os.path.join(tempfile.gettempdir(), "scaling_bench_pages")
-    # generate in a SUBPROCESS: the local[32] generation JVM (32g max heap)
+    # generate in a SUBPROCESS: the local[32] generation JVM (12g max heap)
     # otherwise stays attached to this parent for the whole sweep — idle,
     # but holding heap and /dev/shm shuffle dirs while the pinned legs run
     subprocess.run(
