@@ -238,12 +238,17 @@ def read_jsonl(
         # leave malformed lines in as all-null rows the caller believes
         # were dropped
         raise ValueError("drop_corrupt=True requires an explicit schema")
+    if drop_corrupt:
+        # drop at PARSE time, not filter-after: a post-hoc filter on the
+        # corrupt column alone trips Spark's raw-scan restriction
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. `.count()` prunes every
+        # other column) and would re-parse the file per query anyway
+        return spark.read.option("mode", "DROPMALFORMED").schema(schema).json(
+            path
+        )
     reader = spark.read.option("mode", "PERMISSIVE")
     if schema is not None:
         reader = reader.schema(f"{schema}, {corrupt_col} string").option(
             "columnNameOfCorruptRecord", corrupt_col
         )
-    df = reader.json(path)
-    if schema is not None and drop_corrupt:
-        df = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    return df
+    return reader.json(path)

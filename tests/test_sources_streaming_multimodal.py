@@ -509,3 +509,37 @@ def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
     kept = read_jsonl(spark, str(bad), schema=ddl, drop_corrupt=True)
     assert [r["id"] for r in kept.collect()] == [1]
     assert "_corrupt" not in kept.columns
+
+
+def test_jsonl_write_options(spark, tmp_path):
+    """write_jsonl option paths: gzip compression produces .gz parts that
+    read back intact; partition_by lays out hive dirs and the partition
+    column round-trips."""
+    import glob
+
+    from semantic_entity_matching_spark.sources.readers import read_jsonl
+    from semantic_entity_matching_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c")],
+        "id bigint, lang string, text string",
+    )
+    gz = str(tmp_path / "gz_out")
+    write_jsonl(df.repartition(1), gz, compression="gzip")
+    assert glob.glob(f"{gz}/part-*.json.gz")
+    back = read_jsonl(spark, gz, schema="id bigint, lang string, text string",
+                      drop_corrupt=True)
+    assert back.count() == 3
+
+    part = str(tmp_path / "part_out")
+    write_jsonl(df, part, partition_by=("lang",))
+    assert set(glob.glob(f"{part}/lang=*")) == {
+        f"{part}/lang=en", f"{part}/lang=de"
+    }
+    got = spark.read.schema("id bigint, text string, lang string").json(part)
+    assert {(r["id"], r["lang"]) for r in got.collect()} == {
+        (1, "en"), (2, "en"), (3, "de")
+    }
+
+    with pytest.raises(ValueError, match="schema"):
+        read_jsonl(spark, gz, drop_corrupt=True)
