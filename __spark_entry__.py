@@ -1749,6 +1749,70 @@ def q70_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_fs_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded (multi-level) Fellegi-Sunter scoring — the Splink
+    comparison-level form: adjacent-custkey pairs, a 3-level balance
+    proximity (exact-ish / close / far, NULL when either balance is
+    negative) plus 2-level nationkey/mktsegment agreements, fixed
+    per-level m/u distributions, prior 0.01."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        FSComparison,
+        fellegi_sunter_score_graded,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") - 1).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    diff = F.abs(F.col("bal_a") - F.col("bal_b"))
+    pairs = (
+        a.join(b, "id_a")
+        .withColumn(
+            "lvl_nat", (F.col("nat_a") == F.col("nat_b")).cast("int")
+        )
+        .withColumn(
+            "lvl_seg", (F.col("seg_a") == F.col("seg_b")).cast("int")
+        )
+        .withColumn(
+            "lvl_bal",
+            F.when(
+                (F.col("bal_a") < 0) | (F.col("bal_b") < 0), F.lit(None)
+            )
+            .when(diff < 500, F.lit(2))
+            .when(diff < 2000, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
+    scored = fellegi_sunter_score_graded(
+        pairs,
+        [
+            FSComparison("lvl_nat", m=(0.05, 0.95), u=(0.96, 0.04)),
+            FSComparison("lvl_seg", m=(0.10, 0.90), u=(0.80, 0.20)),
+            FSComparison("lvl_bal", m=(0.05, 0.15, 0.80), u=(0.50, 0.30, 0.20)),
+        ],
+        prior=0.01,
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "lvl_nat",
+        "lvl_seg",
+        "lvl_bal",
+        F.round(F.col("match_weight"), 6).alias("match_weight"),
+        F.round(F.col("match_prob"), 6).alias("match_prob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1821,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_unigram_ppl": q68_unigram_ppl,
         "q69_cluster_cohesion": q69_cluster_cohesion,
         "q70_jsonl_scan": q70_jsonl_scan,
+        "q71_fs_graded": q71_fs_graded,
     }
 
 
@@ -3910,6 +3975,46 @@ def oracle_sql() -> dict[str, str]:
                                 'tags': 'VARCHAR[]'},
                        ignore_errors=true)
         WHERE id IS NOT NULL
+    """
+
+    # q71 — graded FS: per-level log2(m[l]/u[l]) constants injected as
+    # repr() of the SAME Python floats the Spark scorer bakes in.
+    _w = {
+        "nat0": _math.log2(0.05 / 0.96), "nat1": _math.log2(0.95 / 0.04),
+        "seg0": _math.log2(0.10 / 0.80), "seg1": _math.log2(0.90 / 0.20),
+        "bal0": _math.log2(0.05 / 0.50), "bal1": _math.log2(0.15 / 0.30),
+        "bal2": _math.log2(0.80 / 0.20),
+    }
+    sql["q71_fs_graded"] = f"""
+        WITH p AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 CAST(a.c_nationkey = b.c_nationkey AS INT) AS lvl_nat,
+                 CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS lvl_seg,
+                 CASE WHEN a.c_acctbal < 0 OR b.c_acctbal < 0 THEN NULL
+                      WHEN abs(a.c_acctbal - b.c_acctbal) < 500 THEN 2
+                      WHEN abs(a.c_acctbal - b.c_acctbal) < 2000 THEN 1
+                      ELSE 0 END AS lvl_bal
+          FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        ), w AS (
+          SELECT id_a, id_b, lvl_nat, lvl_seg, lvl_bal,
+                 (CASE WHEN lvl_nat IS NULL THEN 0.0::DOUBLE
+                       WHEN lvl_nat = 1 THEN {_w["nat1"]!r}::DOUBLE
+                       ELSE {_w["nat0"]!r}::DOUBLE END
+                + CASE WHEN lvl_seg IS NULL THEN 0.0::DOUBLE
+                       WHEN lvl_seg = 1 THEN {_w["seg1"]!r}::DOUBLE
+                       ELSE {_w["seg0"]!r}::DOUBLE END
+                + CASE WHEN lvl_bal IS NULL THEN 0.0::DOUBLE
+                       WHEN lvl_bal = 2 THEN {_w["bal2"]!r}::DOUBLE
+                       WHEN lvl_bal = 1 THEN {_w["bal1"]!r}::DOUBLE
+                       ELSE {_w["bal0"]!r}::DOUBLE END) AS mw
+          FROM p
+        )
+        SELECT id_a, id_b, lvl_nat, lvl_seg, lvl_bal,
+               round(mw, 6) AS match_weight,
+               round(({0.01 / 0.99!r}::DOUBLE * power(2.0::DOUBLE, mw))
+                     / ({0.01 / 0.99!r}::DOUBLE * power(2.0::DOUBLE, mw)
+                        + 1.0), 6) AS match_prob
+        FROM w
     """
 
     return sql

@@ -352,3 +352,183 @@ def fs_edges_from_features(
     return scored.where(
         F.col("match_prob") >= F.lit(float(posterior_threshold))
     ).select(*id_cols, F.col("match_prob").alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Graded (multi-level) Fellegi-Sunter comparisons
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FSComparison:
+    """One graded comparison: ``col`` holds an integer LEVEL in
+    ``0..len(m)-1`` (null = missing), by convention ordered weakest →
+    strongest agreement (0 = total disagreement, top level = exact
+    match — the public Splink comparison-level convention).  ``m[l]`` /
+    ``u[l]`` are P(level=l | match) / P(level=l | non-match)."""
+
+    col: str
+    m: tuple
+    u: tuple
+
+    def __post_init__(self) -> None:
+        if len(self.m) != len(self.u) or len(self.m) < 2:
+            raise ValueError("m and u need the same length >= 2")
+        for name, vec in (("m", self.m), ("u", self.u)):
+            if any(not 0.0 < v < 1.0 for v in vec):
+                raise ValueError(f"every {name}[l] must be in (0,1)")
+            if abs(sum(vec) - 1.0) > 1e-6:
+                raise ValueError(f"{name} must sum to 1, got {sum(vec)}")
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.m)
+
+
+def fellegi_sunter_score_graded(
+    pairs: DataFrame,
+    comparisons: list[FSComparison],
+    prior: float = 0.5,
+    weight_col: str = "match_weight",
+    prob_col: str = "match_prob",
+) -> DataFrame:
+    """Graded FS scoring: each field contributes ``log2(m[l]/u[l])`` for
+    its observed level ``l`` (null level → 0).  Same posterior fold as
+    the binary scorer; the per-level log weights are constant literals —
+    a chain of ``when`` branches per field, pure codegen, zero shuffle."""
+    if not comparisons:
+        raise ValueError("comparisons must be non-empty")
+    if not 0.0 < prior < 1.0:
+        raise ValueError(f"prior must be in (0,1), got {prior}")
+    expr = F.lit(0.0)
+    for cmp_ in comparisons:
+        c = F.col(cmp_.col).cast("int")
+        branch = F.when(c.isNull(), F.lit(0.0))
+        for lvl in range(cmp_.n_levels):
+            branch = branch.when(
+                c == lvl, F.lit(math.log2(cmp_.m[lvl] / cmp_.u[lvl]))
+            )
+        # an out-of-range level is a caller bug — surface it as null
+        # (poisons the weight) rather than silently scoring 0
+        expr = expr + branch.otherwise(F.lit(None).cast("double"))
+    out = pairs.withColumn(weight_col, expr)
+    prior_odds = prior / (1.0 - prior)
+    odds = F.lit(prior_odds) * F.pow(F.lit(2.0), F.col(weight_col))
+    return out.withColumn(prob_col, odds / (odds + F.lit(1.0)))
+
+
+def estimate_fs_graded(
+    pairs: DataFrame,
+    level_cols: dict,
+    prior_init: float = 0.1,
+    iters: int = 100,
+    tol: float = 1e-9,
+) -> tuple[list[FSComparison], float]:
+    """EM fit of graded comparisons → (comparisons, prior).
+
+    ``level_cols`` maps column name → number of levels.  Same scale shape
+    as the binary fit: ONE Spark aggregation collapses the pair table to
+    level-pattern counts (at most ``prod(L_f + 1)`` rows — tiny for the
+    3-5 comparisons × 3-4 levels ER uses), then EM runs driver-side in
+    numpy.  Missing (null) levels are excluded from that field's updates.
+
+    Initialization spreads m toward HIGH levels and u toward LOW levels
+    (the component convention); after convergence the label-switch
+    repair enforces it: the match component must have the larger
+    expected level averaged over fields, else (m,u,lam) is relabeled to
+    the mirror solution (identical likelihood).
+    """
+    if not level_cols:
+        raise ValueError("level_cols must be non-empty")
+    cols = list(level_cols)
+    patterns = (
+        pairs.groupBy(
+            *[
+                F.coalesce(F.col(c).cast("int"), F.lit(-1)).alias(c)
+                for c in cols
+            ]
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    if not patterns:
+        raise ValueError("pairs is empty")
+    gamma = np.array([[r[c] for c in cols] for r in patterns], dtype=np.int64)
+    cnt = np.array([r["cnt"] for r in patterns], dtype=np.float64)
+    n_fields = len(cols)
+    levels = [int(level_cols[c]) for c in cols]
+    for j, c in enumerate(cols):
+        hi = gamma[:, j].max()
+        if hi >= levels[j]:
+            raise ValueError(
+                f"column {c!r} has level {hi} >= n_levels {levels[j]}"
+            )
+    eps = 1e-9
+    # init: linearly increasing mass over levels for m, decreasing for u
+    m = [
+        np.arange(1, L + 1, dtype=np.float64) / (L * (L + 1) / 2)
+        for L in levels
+    ]
+    u = [mm[::-1].copy() for mm in m]
+    lam = float(prior_init)
+    observed = gamma >= 0
+
+    def loglik_per_pattern(dists):
+        out = np.zeros(len(gamma))
+        for j in range(n_fields):
+            obs = observed[:, j]
+            out[obs] += np.log(dists[j][gamma[obs, j]])
+        return out
+
+    for _ in range(iters):
+        log_m = loglik_per_pattern(m)
+        log_u = loglik_per_pattern(u)
+        num = lam * np.exp(log_m)
+        den = num + (1.0 - lam) * np.exp(log_u)
+        resp = num / np.maximum(den, eps)
+        w_match = resp * cnt
+        w_non = (1.0 - resp) * cnt
+        delta = 0.0
+        m_new, u_new = [], []
+        for j, L in enumerate(levels):
+            obs = observed[:, j]
+            mj = np.array(
+                [
+                    (w_match[obs] * (gamma[obs, j] == l)).sum()
+                    for l in range(L)
+                ]
+            )
+            uj = np.array(
+                [(w_non[obs] * (gamma[obs, j] == l)).sum() for l in range(L)]
+            )
+            mj = np.clip(mj / max(mj.sum(), eps), eps, 1.0)
+            uj = np.clip(uj / max(uj.sum(), eps), eps, 1.0)
+            mj, uj = mj / mj.sum(), uj / uj.sum()
+            delta = max(
+                delta,
+                np.abs(mj - m[j]).max(),
+                np.abs(uj - u[j]).max(),
+            )
+            m_new.append(mj)
+            u_new.append(uj)
+        lam_new = float(
+            min(max(w_match.sum() / cnt.sum(), eps), 1.0 - eps)
+        )
+        delta = max(delta, abs(lam_new - lam))
+        m, u, lam = m_new, u_new, lam_new
+        if delta < tol:
+            break
+    # label-switch repair (mirror solution has identical likelihood):
+    # match component = the one expecting HIGHER levels on average
+    exp_m = float(
+        np.mean([(mj * np.arange(len(mj))).sum() for mj in m])
+    )
+    exp_u = float(
+        np.mean([(uj * np.arange(len(uj))).sum() for uj in u])
+    )
+    if exp_m < exp_u:
+        m, u, lam = u, m, 1.0 - lam
+    comparisons = [
+        FSComparison(col=c, m=tuple(map(float, m[j])), u=tuple(map(float, u[j])))
+        for j, c in enumerate(cols)
+    ]
+    return comparisons, lam

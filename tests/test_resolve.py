@@ -183,3 +183,80 @@ def test_estimate_fs_params_label_switch_repair(spark):
     assert (m_hat > u_hat).all()
     assert np.abs(m_hat - m_true).max() < 0.05
     assert abs(lam - 0.2) < 0.02
+
+
+def test_fs_graded_scoring_math(spark):
+    """Graded scoring: per-level log2(m[l]/u[l]) contributions, null level
+    contributes 0, an out-of-range level poisons the weight to null."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        FSComparison,
+        fellegi_sunter_score_graded,
+    )
+
+    comp = FSComparison("lvl", m=(0.05, 0.15, 0.80), u=(0.70, 0.20, 0.10))
+    pairs = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (3, None), (4, 7)], "pid long, lvl int"
+    )
+    got = {
+        r["pid"]: (r["match_weight"], r["match_prob"])
+        for r in fellegi_sunter_score_graded(
+            pairs, [comp], prior=0.2
+        ).collect()
+    }
+    for pid, w in {
+        0: math.log2(0.05 / 0.70),
+        1: math.log2(0.15 / 0.20),
+        2: math.log2(0.80 / 0.10),
+        3: 0.0,
+    }.items():
+        odds = 0.25 * 2.0**w
+        assert got[pid][0] == pytest.approx(w, abs=1e-12)
+        assert got[pid][1] == pytest.approx(odds / (1 + odds), abs=1e-12)
+    assert got[4] == (None, None)  # out-of-range level never scores 0
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        FSComparison("x", m=(0.5, 0.2), u=(0.5, 0.5))
+    with pytest.raises(ValueError, match="length"):
+        FSComparison("x", m=(0.5, 0.5), u=(0.2, 0.3, 0.5))
+
+
+def test_estimate_fs_graded_recovers_planted(spark):
+    """EM over planted 3-level mixtures recovers per-level m/u and the
+    prior; missing levels excluded; the match component always expects
+    the higher levels (label-switch repair invariant)."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        estimate_fs_graded,
+        fellegi_sunter_score_graded,
+    )
+
+    rng = np.random.RandomState(3)
+    m_true = [np.array([0.05, 0.15, 0.80]), np.array([0.10, 0.90])]
+    u_true = [np.array([0.70, 0.20, 0.10]), np.array([0.85, 0.15])]
+    n_match, n_non = 3_000, 17_000
+
+    def draw(dists, n):
+        return np.column_stack(
+            [rng.choice(len(d), size=n, p=d) for d in dists]
+        )
+
+    g = np.vstack([draw(m_true, n_match), draw(u_true, n_non)])
+    missing = rng.rand(len(g)) < 0.08
+    rows = [
+        (int(i), None if missing[i] else int(g[i, 0]), int(g[i, 1]))
+        for i in range(len(g))
+    ]
+    pairs = spark.createDataFrame(rows, "pid long, c0 int, c1 int")
+    comps, lam = estimate_fs_graded(pairs, {"c0": 3, "c1": 2})
+    assert abs(lam - 0.15) < 0.02
+    for j, comp in enumerate(comps):
+        assert np.abs(np.array(comp.m) - m_true[j]).max() < 0.05
+        assert np.abs(np.array(comp.u) - u_true[j]).max() < 0.05
+        exp_m = sum(p * l for l, p in enumerate(comp.m))
+        exp_u = sum(p * l for l, p in enumerate(comp.u))
+        assert exp_m > exp_u  # repair invariant
+    scored = fellegi_sunter_score_graded(pairs, comps, prior=lam)
+    hi = scored.where("match_prob >= 0.5").count()
+    assert abs(hi - n_match) / n_match < 0.25
+
+    with pytest.raises(ValueError, match="level"):
+        estimate_fs_graded(pairs, {"c0": 2, "c1": 2})  # c0 has level 2
