@@ -207,3 +207,22 @@ def test_fs_scoring_empty_input(spark, corpus):
     result = run_pipeline(pages.limit(0), MatchConfig(scoring="fellegi_sunter"))
     assert result.clusters.count() == 0
     assert result.counters["edges_emitted"] == 0
+
+
+@pytest.mark.parametrize("seed", [13, 99])
+def test_fs_scoring_f1_seed_sweep(spark, seed):
+    """The unsupervised FS mode must hold the F1 gate beyond the fixture
+    seed (EM fits per-corpus, so seed robustness is a REAL property here,
+    not just blocking recall)."""
+    pages, gold = synth_webpages(
+        spark,
+        SynthConfig(n_entities=30, seed=seed, hot_boilerplate_rows=15,
+                    null_text_rows=3),
+    )
+    pages = pages.cache()
+    result = run_pipeline(pages, MatchConfig(scoring="fellegi_sunter"))
+    m = pairwise_metrics(predicted_pairs_from_clusters(result.clusters), gold)
+    pages.unpersist()
+    assert m.f1 >= 0.99, (
+        f"seed={seed} FS F1={m.f1:.4f} (p={m.precision:.4f} r={m.recall:.4f})"
+    )
