@@ -1727,8 +1727,8 @@ def q69_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q70_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL scan contract over a committed fixture with nested structs,
     arrays, nulls, a missing-fields line, unicode, and one MALFORMED line.
-    Both engines anchor validity on ``id IS NOT NULL``: Spark captures
-    the corrupt line (PERMISSIVE + _corrupt) and drops it; DuckDB's
+    Both engines anchor validity on ``id IS NOT NULL``: Spark drops the
+    syntactically-broken line at parse time (DROPMALFORMED); DuckDB's
     ignore_errors turns it into an all-null row the filter removes."""
     from semantic_entity_matching_spark.sources.readers import read_jsonl
 

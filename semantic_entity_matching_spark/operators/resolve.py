@@ -160,6 +160,16 @@ class FSField:
                 raise ValueError(f"{name} must be in (0,1), got {v}")
 
 
+def _with_posterior(
+    df: DataFrame, prior: float, weight_col: str, prob_col: str
+) -> DataFrame:
+    """Fold the prior into posterior odds: ``odds = prior/(1-prior) *
+    2^weight``, ``prob = odds/(1+odds)`` — shared by both scorers."""
+    prior_odds = prior / (1.0 - prior)
+    odds = F.lit(prior_odds) * F.pow(F.lit(2.0), F.col(weight_col))
+    return df.withColumn(prob_col, odds / (odds + F.lit(1.0)))
+
+
 def fellegi_sunter_score(
     pairs: DataFrame,
     fields: list[FSField],
@@ -193,10 +203,9 @@ def fellegi_sunter_score(
             .when(F.col(fld.col).cast("int") == 1, F.lit(w_agree))
             .otherwise(F.lit(w_disagree))
         )
-    out = pairs.withColumn(weight_col, expr)
-    prior_odds = prior / (1.0 - prior)
-    odds = F.lit(prior_odds) * F.pow(F.lit(2.0), F.col(weight_col))
-    return out.withColumn(prob_col, odds / (odds + F.lit(1.0)))
+    return _with_posterior(
+        pairs.withColumn(weight_col, expr), prior, weight_col, prob_col
+    )
 
 
 def estimate_fs_params(
@@ -210,12 +219,11 @@ def estimate_fs_params(
 ) -> tuple[list[FSField], float]:
     """EM fit of (m, u) per field + the match prior → (fields, prior).
 
-    The corpus-scale part is ONE Spark aggregation: group the pair table
-    by its agreement pattern (each column coalesced to -1/0/1) and count.
-    With F fields there are at most 3^F patterns — a tiny table — so the
-    EM iterations run driver-side in numpy with zero further Spark jobs.
-    Missing (null) agreements are excluded from that field's m/u updates
-    (EM over the observed entries only).
+    Delegates to :func:`estimate_fs_graded` with two levels per field
+    (the binary fit IS the L=2 special case — one EM implementation):
+    ONE Spark aggregation collapses the pair table to agreement-pattern
+    counts, the EM iterations run driver-side in numpy, and missing
+    (null) agreements are excluded from that field's m/u updates.
 
     Standard unsupervised Fellegi-Sunter fitting (Winkler 1988; the
     public Splink `estimate_parameters_using_expectation_maximisation`
@@ -223,75 +231,20 @@ def estimate_fs_params(
     """
     if not agree_cols:
         raise ValueError("agree_cols must be non-empty")
-    patterns = (
-        pairs.groupBy(
-            *[
-                F.coalesce(F.col(c).cast("int"), F.lit(-1)).alias(c)
-                for c in agree_cols
-            ]
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    # the binary fit IS the 2-level graded fit: levels (0, 1), init mass
+    # (1-m_init, m_init) per field — ONE EM implementation to maintain,
+    # and the graded label-switch repair (expected-level ordering)
+    # reduces exactly to the binary mean(m-u) rule at L=2
+    comps, lam = estimate_fs_graded(
+        pairs,
+        {c: 2 for c in agree_cols},
+        prior_init=prior_init,
+        iters=iters,
+        tol=tol,
+        init_m=[(1.0 - float(m_init), float(m_init))] * len(agree_cols),
+        init_u=[(1.0 - float(u_init), float(u_init))] * len(agree_cols),
     )
-    if not patterns:
-        raise ValueError("pairs is empty")
-    gamma = np.array(
-        [[r[c] for c in agree_cols] for r in patterns], dtype=np.int64
-    )  # (P, F) in {-1, 0, 1}
-    cnt = np.array([r["cnt"] for r in patterns], dtype=np.float64)  # (P,)
-    n_fields = len(agree_cols)
-    m = np.full(n_fields, float(m_init))
-    u = np.full(n_fields, float(u_init))
-    lam = float(prior_init)
-    observed = gamma >= 0
-    agree = gamma == 1
-
-    eps = 1e-12
-    for _ in range(iters):
-        # E-step: P(match | pattern) per pattern row.
-        log_m = np.where(
-            observed, np.where(agree, np.log(m), np.log(1.0 - m)), 0.0
-        ).sum(axis=1)
-        log_u = np.where(
-            observed, np.where(agree, np.log(u), np.log(1.0 - u)), 0.0
-        ).sum(axis=1)
-        num = lam * np.exp(log_m)
-        den = num + (1.0 - lam) * np.exp(log_u)
-        resp = num / np.maximum(den, eps)  # (P,)
-        # M-step (observed entries only per field).
-        w_match = resp * cnt
-        w_non = (1.0 - resp) * cnt
-        m_new = np.empty(n_fields)
-        u_new = np.empty(n_fields)
-        for j in range(n_fields):
-            obs = observed[:, j]
-            tot_m = w_match[obs].sum()
-            tot_u = w_non[obs].sum()
-            m_new[j] = (w_match[obs] * agree[obs, j]).sum() / max(tot_m, eps)
-            u_new[j] = (w_non[obs] * agree[obs, j]).sum() / max(tot_u, eps)
-        lam_new = float(w_match.sum() / cnt.sum())
-        clip = lambda a: np.clip(a, eps, 1.0 - eps)  # noqa: E731
-        m_new, u_new = clip(m_new), clip(u_new)
-        lam_new = float(min(max(lam_new, eps), 1.0 - eps))
-        delta = max(
-            np.abs(m_new - m).max(), np.abs(u_new - u).max(), abs(lam_new - lam)
-        )
-        m, u, lam = m_new, u_new, lam_new
-        if delta < tol:
-            break
-    # Label-switch repair: the two-component likelihood is IDENTICAL under
-    # (m, u, lam) -> (u, m, 1-lam), and on match-dominated candidate
-    # populations EM happily converges to the mirrored optimum — which
-    # would score NON-matches high (Splink guards the same failure by
-    # asserting m > u).  By convention the "match" component is the one
-    # where agreement is more likely: if the fields on average say
-    # otherwise, relabel.
-    if float(np.mean(m - u)) < 0.0:
-        m, u, lam = u, m, 1.0 - lam
-    fields = [
-        FSField(col=c, m=float(m[j]), u=float(u[j]))
-        for j, c in enumerate(agree_cols)
-    ]
+    fields = [FSField(col=c.col, m=c.m[1], u=c.u[1]) for c in comps]
     return fields, lam
 
 
@@ -410,10 +363,9 @@ def fellegi_sunter_score_graded(
         # an out-of-range level is a caller bug — surface it as null
         # (poisons the weight) rather than silently scoring 0
         expr = expr + branch.otherwise(F.lit(None).cast("double"))
-    out = pairs.withColumn(weight_col, expr)
-    prior_odds = prior / (1.0 - prior)
-    odds = F.lit(prior_odds) * F.pow(F.lit(2.0), F.col(weight_col))
-    return out.withColumn(prob_col, odds / (odds + F.lit(1.0)))
+    return _with_posterior(
+        pairs.withColumn(weight_col, expr), prior, weight_col, prob_col
+    )
 
 
 def estimate_fs_graded(
@@ -422,6 +374,8 @@ def estimate_fs_graded(
     prior_init: float = 0.1,
     iters: int = 100,
     tol: float = 1e-9,
+    init_m: list | None = None,
+    init_u: list | None = None,
 ) -> tuple[list[FSComparison], float]:
     """EM fit of graded comparisons → (comparisons, prior).
 
@@ -440,10 +394,14 @@ def estimate_fs_graded(
     if not level_cols:
         raise ValueError("level_cols must be non-empty")
     cols = list(level_cols)
+    # null sentinel OUTSIDE any plausible level encoding: coalescing to -1
+    # would make a caller's accidental -1 level (a common "disagree"
+    # encoding) indistinguishable from missing and silently bias the fit
+    null_sent = -(2**31)
     patterns = (
         pairs.groupBy(
             *[
-                F.coalesce(F.col(c).cast("int"), F.lit(-1)).alias(c)
+                F.coalesce(F.col(c).cast("int"), F.lit(null_sent)).alias(c)
                 for c in cols
             ]
         )
@@ -456,21 +414,37 @@ def estimate_fs_graded(
     cnt = np.array([r["cnt"] for r in patterns], dtype=np.float64)
     n_fields = len(cols)
     levels = [int(level_cols[c]) for c in cols]
+    observed = gamma != null_sent
     for j, c in enumerate(cols):
-        hi = gamma[:, j].max()
-        if hi >= levels[j]:
+        vals = gamma[observed[:, j], j]
+        if len(vals) and (vals.min() < 0 or vals.max() >= levels[j]):
             raise ValueError(
-                f"column {c!r} has level {hi} >= n_levels {levels[j]}"
+                f"column {c!r} has level outside [0, {levels[j]}): "
+                f"min {vals.min()}, max {vals.max()}"
             )
     eps = 1e-9
     # init: linearly increasing mass over levels for m, decreasing for u
-    m = [
-        np.arange(1, L + 1, dtype=np.float64) / (L * (L + 1) / 2)
-        for L in levels
-    ]
-    u = [mm[::-1].copy() for mm in m]
+    # (override with init_m/init_u — one distribution per field)
+    if init_m is None:
+        m = [
+            np.arange(1, L + 1, dtype=np.float64) / (L * (L + 1) / 2)
+            for L in levels
+        ]
+    else:
+        m = [np.asarray(d, dtype=np.float64) for d in init_m]
+    if init_u is None:
+        u = [mm[::-1].copy() for mm in m]
+    else:
+        u = [np.asarray(d, dtype=np.float64) for d in init_u]
+    for name, dists in (("init_m", m), ("init_u", u)):
+        for j, d in enumerate(dists):
+            if len(d) != levels[j] or abs(d.sum() - 1.0) > 1e-6:
+                raise ValueError(
+                    f"{name}[{j}] must be a {levels[j]}-level distribution"
+                )
     lam = float(prior_init)
-    observed = gamma >= 0
+    # after the sentinel swap, gamma[obs] indexes stay valid level ids
+    gamma = np.where(observed, gamma, 0)  # sentinel -> safe index, masked
 
     def loglik_per_pattern(dists):
         out = np.zeros(len(gamma))

@@ -226,11 +226,18 @@ def read_jsonl(
     schema the scan is single-pass, the reader prunes to referenced
     columns, and filter pushdown applies.
 
-    Malformed lines never abort the scan (PERMISSIVE): they surface as
-    rows whose data fields are all null with the raw line captured in
-    ``corrupt_col`` — audit them (``where(col(corrupt_col).isNotNull())``)
-    or pass ``drop_corrupt=True`` to filter and hide the column.  Fields
-    missing from a valid line are plain nulls, not corruption.
+    Malformed lines never abort the scan.  Default (PERMISSIVE): they
+    surface as rows whose data fields are all null with the raw line
+    captured in ``corrupt_col`` — audit them with
+    ``where(col(corrupt_col).isNotNull())``.  ``drop_corrupt=True``
+    switches to DROPMALFORMED, discarding bad lines at parse time.  One
+    Spark caveat rides along with DROPMALFORMED: malformedness is judged
+    against the columns a query actually parses, so a line that is valid
+    JSON but type-broken only in a column a narrow query prunes away
+    survives that query (a syntactically-broken line is dropped by every
+    query).  Take authoritative row counts on the materialized output,
+    not on a column-pruned aggregate of the raw scan.  Fields missing
+    from a valid line are plain nulls, not corruption, in both modes.
     """
     if drop_corrupt and schema is None:
         # with an inferred schema Spark routes corrupt lines to its own
