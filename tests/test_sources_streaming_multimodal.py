@@ -543,3 +543,25 @@ def test_jsonl_write_options(spark, tmp_path):
 
     with pytest.raises(ValueError, match="schema"):
         read_jsonl(spark, gz, drop_corrupt=True)
+
+
+def test_jsonl_dropmalformed_type_broken_line(spark, tmp_path):
+    """A line that is valid JSON but type-broken in a schema column is
+    dropped by DROPMALFORMED on full materialization (the authoritative
+    read documented in read_jsonl); a syntactically-broken line is
+    dropped by every query shape including column-pruned counts."""
+    from semantic_entity_matching_spark.sources.readers import read_jsonl
+
+    d = tmp_path / "tb"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"id": 1, "title": "good"}\n'
+        '{"id": "abc", "title": "type-broken id"}\n'
+        "TOTALLY BROKEN {{{\n"
+    )
+    df = read_jsonl(spark, str(d), schema="id bigint, title string",
+                    drop_corrupt=True)
+    rows = df.collect()  # full-width parse: both bad lines dropped
+    assert [(r["id"], r["title"]) for r in rows] == [(1, "good")]
+    # the syntactically-broken line is gone under ANY projection
+    assert df.select("title").count() <= 2
