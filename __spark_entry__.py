@@ -258,11 +258,28 @@ def q11_query_text_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q12_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized-content hash."""
+    """Exact dedup: hash-groupBy on normalized-content hash.
+
+    The raw corpus contains no exact duplicates (round-4 verdict: the
+    contract row verified vacuously on 0 groups), so the query plants them
+    deterministically: every doc_id % 5 == 0 page is re-emitted under
+    doc_id + 100000 with case flipped and whitespace padded — text the
+    lower/trim/``\\s+``-squash normalization must collapse back onto the
+    original.  The oracle builds the identical union, so the contract now
+    verifies non-empty group output AND the normalization itself.
+    """
     from semantic_entity_matching_spark.operators.dedup import exact_duplicate_groups
 
-    docs = _t(spark, sf_dir, "documents")
-    return exact_duplicate_groups(docs, id_col="doc_id", text_col="text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.where(
+        (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("   ")).alias("text"),
+    )
+    return exact_duplicate_groups(
+        docs.unionByName(mutated), id_col="doc_id", text_col="text"
+    )
 
 
 def q13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2010,10 +2027,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q12_exact_dup_groups"] = """
-        WITH hashed AS (
+        WITH unioned AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   '  ' || upper(text) || '   ' AS text
+            FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        ), hashed AS (
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
-            FROM documents WHERE text IS NOT NULL
+            FROM unioned WHERE text IS NOT NULL
         )
         SELECT content_hash, min(doc_id) AS keep_id, count(doc_id) AS dup_count
         FROM hashed GROUP BY content_hash HAVING count(doc_id) >= 2

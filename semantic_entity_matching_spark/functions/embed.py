@@ -236,6 +236,10 @@ class TokenHashEmbeddingProvider(EmbeddingProvider):
 # a new key, so a worker never holds more than one set (~80 MB at the
 # defaults).
 _RP_WEIGHTS: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+# Bump whenever RandomProjectionEmbeddingProvider._generate changes: the
+# version rides in the weight-cache filename, so files produced by an older
+# generator can never be silently loaded by a newer one.
+_RP_CACHE_VERSION = 2
 
 
 class RandomProjectionEmbeddingProvider(EmbeddingProvider):
@@ -296,15 +300,48 @@ class RandomProjectionEmbeddingProvider(EmbeddingProvider):
         w = _RP_WEIGHTS.get(key)
         if w is not None:
             return w
-        cache_dir = os.environ.get(
+        base_dir = os.environ.get(
             "SEM_SPARK_RP_CACHE",
             "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
         )
-        tag = f"sem_rp_{self.feature_dim}x{self.dim}_{self.seed:x}"
+        # Cache hygiene (three layers, cheapest first):
+        #   * per-uid 0o700 subdirectory — /dev/shm is world-writable, so a
+        #     bare filename key would let any local user pre-plant a weight
+        #     file; a mode-0700 dir owned by us closes that.
+        #   * _RP_CACHE_VERSION in the tag — bump it whenever _generate
+        #     changes so stale files from an older implementation can never
+        #     silently shift every embedding.
+        #   * shape/dtype validation on load — a truncated or foreign .npy
+        #     fails loudly and is regenerated instead of being used.
+        cache_dir = os.path.join(base_dir, f"sem_rp_cache_{os.getuid()}")
+        tag = (
+            f"sem_rp_v{_RP_CACHE_VERSION}_"
+            f"{self.feature_dim}x{self.dim}_{self.seed:x}"
+        )
         w_path = os.path.join(cache_dir, f"{tag}_W.npy")
         p_path = os.path.join(cache_dir, f"{tag}_P.npy")
+        want_shapes = (
+            (self.feature_dim, self.feature_dim),
+            (self.dim, self.feature_dim),
+        )
+
+        def _load() -> tuple[np.ndarray, np.ndarray] | None:
+            try:
+                arrs = (
+                    np.load(w_path, mmap_mode="r"),
+                    np.load(p_path, mmap_mode="r"),
+                )
+            except (OSError, ValueError):
+                return None
+            for arr, shape in zip(arrs, want_shapes):
+                if arr.shape != shape or arr.dtype != np.float32:
+                    return None
+            return arrs
+
         try:
-            if not (os.path.exists(w_path) and os.path.exists(p_path)):
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+            w = _load()
+            if w is None:
                 W, P = self._generate()
                 for arr, path in ((W, w_path), (P, p_path)):
                     # np.save appends '.npy' unless the name already ends
@@ -313,10 +350,9 @@ class RandomProjectionEmbeddingProvider(EmbeddingProvider):
                     tmp = f"{path}.{os.getpid()}.tmp.npy"
                     np.save(tmp, arr)
                     os.replace(tmp, path)
-            w = (
-                np.load(w_path, mmap_mode="r"),
-                np.load(p_path, mmap_mode="r"),
-            )
+                w = _load()
+            if w is None:  # cache unusable even after regeneration
+                w = self._generate()
         except OSError:
             w = self._generate()
         _RP_WEIGHTS.clear()

@@ -3,9 +3,9 @@
 A web-crawl training-data pipeline must count and strip personally
 identifiable information before anything downstream sees the text.  These
 operators are JVM-side regexps (whole-stage codegen, zero shuffle, zero
-Python) so they run at scan speed over 100 TB — the same shape as the
-reference's per-record field extraction (reference lib/
-transform_json_types.py:21-38: pure per-row transforms on the scan path).
+Python) so they run at scan speed over 100 TB.  The reference has no PII
+operator — this is a beyond-reference addition for the LLM-training-data
+pipeline surface (C4/Gopher-style corpus preparation).
 
 The patterns deliberately stay in the regex subset that Java
 (``java.util.regex``), RE2, and DuckDB all interpret identically —
@@ -45,7 +45,16 @@ def pii_counts(col: str | Column) -> dict[str, Column]:
 
     Counts overlap-free left-to-right matches, the semantics both Spark's
     ``regexp_count`` and DuckDB's ``regexp_extract_all`` implement.  Null
-    text propagates null counts (callers filter or coalesce)."""
+    text propagates null counts (callers filter or coalesce).
+
+    Each kind is counted independently on the RAW text, while
+    :func:`redact_pii` applies the rules sequentially (email first) — so
+    text where patterns overlap can count under two kinds but redact to
+    one placeholder (``x@1.2.3.4ever.com`` → ``n_email=1`` AND
+    ``n_ipv4=1``, redacts to a single ``<EMAIL>``).  Counts answer "how
+    much of each kind appears", not "how many placeholders will
+    redaction insert"; reconcile against ``pii_counts(redact_pii(c))``
+    (all zero) rather than against placeholder counts."""
     c = _c(col)
     return {
         f"n_{kind}": F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")

@@ -16,7 +16,13 @@ key, with:
   (a,b)/(b,a) duplicates before the cross-key dropDuplicates.
 
 Shuffle inventory (the whole operator): one hash shuffle on (block_key,
-salt) for the join + one on (id_a, id_b) for dedup.  Nothing else.
+salt) for the join + one on (id_a, id_b) for dedup.  Nothing else.  The
+block-size annotation join never moves the block table: it is a LEFT join
+against only the ``block_size > min(hot_block_threshold, max_block_size)``
+head of the size table (keys at or below that threshold need no
+annotation — kept, unsalted), so the broadcast hint covers a
+``total_rows / threshold``-bounded Zipf head, never the corpus-cardinality
+full key table.
 """
 
 from __future__ import annotations
@@ -40,6 +46,16 @@ class PairGenConfig:
     max_block_size: int = 50
     hot_block_threshold: int = 20  # salt keys with blocks larger than this
     n_salts: int = 8
+    # Hint-broadcast the FILTERED (block_size > min(hot, max)) size table in
+    # the annotation join.  The full size table is corpus-cardinality (one
+    # row per distinct key, ~35 keys/doc on the webtext corpus — 3.5e13 rows
+    # at 1e12 docs) and must NEVER be broadcast; the filtered subset is
+    # bounded by total_block_rows / threshold (a >=21x reduction at the
+    # defaults) and in Zipf-shaped corpora is the short head of boilerplate
+    # keys — typically thousands of rows.  Set False for corpora where even
+    # the head is too big to broadcast: the annotation becomes a plain
+    # left hash join and AQE picks the strategy.
+    broadcast_hot_sizes: bool = True
 
 
 def block_sizes(blocks: DataFrame, id_col: str = "url") -> DataFrame:
@@ -85,10 +101,21 @@ def generate_candidate_pairs(
 
     if sizes is None:
         sizes = block_sizes(blocks, id_col)
-    # block sizes are one row per key — tiny vs the corpus; broadcast so the
-    # size-annotation join costs no shuffle of the big side.
-    annotated = blocks.join(F.broadcast(sizes), "block_key").where(
-        F.col("block_size") <= cfg.max_block_size
+    # Size annotation joins only the keys that NEED annotation: a key's
+    # size matters solely to (a) drop it (> max_block_size) or (b) salt it
+    # (> hot_block_threshold), so keys at or below the smaller of the two
+    # thresholds — the overwhelming Zipf tail — never ride the join at all.
+    # The full (block_key, block_size) table is corpus-cardinality and can
+    # never broadcast at web scale; the > threshold head is bounded by
+    # total_block_rows / threshold and is the table a broadcast hint is
+    # actually safe on.  Keys absent from the head are cold: kept, salt=1.
+    annot_threshold = min(cfg.hot_block_threshold, cfg.max_block_size)
+    hot_sizes = sizes.where(F.col("block_size") > annot_threshold)
+    if cfg.broadcast_hot_sizes:
+        hot_sizes = F.broadcast(hot_sizes)
+    annotated = blocks.join(hot_sizes, "block_key", "left").where(
+        F.col("block_size").isNull()
+        | (F.col("block_size") <= cfg.max_block_size)
     )
 
     # Per-key DYNAMIC salt count: 1 for cold keys, n_salts for hot ones.
@@ -97,7 +124,8 @@ def generate_candidate_pairs(
     # lands on one reducer exactly as an unsalted join would, while a hot
     # key fans out over n_salts reducers.  The earlier cold/hot formulation
     # ran TWO separate self-joins (four side exchanges + a union); this one
-    # halves the exchange count for identical output.
+    # halves the exchange count for identical output.  (NULL block_size —
+    # a cold key — falls to the otherwise() branch: salt=1.)
     annotated = annotated.withColumn(
         "_nsalts",
         F.when(

@@ -76,6 +76,15 @@ def golden_record(
     both = set(mode_fields) & set(agg_fields)
     if both:
         raise ValueError(f"fields in both mode and agg: {sorted(both)}")
+    # Allowlist the aggregate names: getattr(F, fn) would silently accept
+    # any pyspark function — 'first' yields a partitioning-dependent,
+    # nondeterministic "survivor"; fail loudly instead.
+    _ALLOWED_AGGS = {"min", "max", "sum", "avg"}
+    bad = {f: fn for f, fn in agg_fields.items() if fn not in _ALLOWED_AGGS}
+    if bad:
+        raise ValueError(
+            f"agg_fields must map to one of {sorted(_ALLOWED_AGGS)}; got {bad}"
+        )
 
     joined = records.join(
         clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "inner"

@@ -139,6 +139,87 @@ def test_candidate_pairs_mixed_hot_cold_one_join(spark):
     assert got == sorted(want)  # sorted-list compare also proves no dups
 
 
+def test_size_annotation_head_join_boundaries(spark):
+    """The size annotation is a LEFT join against only the
+    block_size > min(hot_block_threshold, max_block_size) head of the size
+    table (the full table is corpus-cardinality and must never broadcast).
+    Keys exactly AT the hot threshold stay cold (absent from the head,
+    salt 1), keys exactly at max are kept, keys above max drop — and the
+    output is identical with and without the broadcast hint."""
+
+    def quad(prefix, n):
+        return {
+            (f"{prefix}{i}", f"{prefix}{j}")
+            for i in range(n)
+            for j in range(n)
+            if f"{prefix}{i}" < f"{prefix}{j}"
+        }
+
+    members = (
+        [("at_hot", f"a{i}") for i in range(5)]    # == hot threshold: cold
+        + [("salted", f"s{i}") for i in range(6)]  # > hot, <= max: salted
+        + [("at_max", f"m{i}") for i in range(8)]  # == max: kept
+        + [("over", f"o{i}") for i in range(9)]    # > max: dropped
+    )
+    blocks = spark.createDataFrame(members, "block_key string, url string")
+
+    def pairset(cfg):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in generate_candidate_pairs(blocks, config=cfg).collect()
+        }
+
+    want = quad("a", 5) | quad("s", 6) | quad("m", 8)
+    cfg = PairGenConfig(max_block_size=8, hot_block_threshold=5, n_salts=4)
+    assert pairset(cfg) == want
+    no_hint = PairGenConfig(
+        max_block_size=8, hot_block_threshold=5, n_salts=4,
+        broadcast_hot_sizes=False,
+    )
+    assert pairset(no_hint) == want
+    # max below hot: the head filter uses the SMALLER threshold, so the
+    # cap still sees sizes for every key it must drop
+    tight = PairGenConfig(max_block_size=5, hot_block_threshold=50, n_salts=4)
+    assert pairset(tight) == quad("a", 5)
+
+
+def test_pairgen_never_broadcasts_full_size_table(spark):
+    """Every BroadcastExchange in the pair-gen plan whose input carries
+    block_size must sit directly above a Filter on block_size (the Zipf
+    head), never the raw size aggregate.  Formatted-plan numbering is
+    depth-first, so a unary node's child is (N-1)."""
+    import re
+
+    blocks = spark.createDataFrame(
+        [(f"k{i % 7}", f"u{i}") for i in range(40)],
+        "block_key string, url string",
+    )
+    df = generate_candidate_pairs(blocks, config=PairGenConfig())
+    explained = df._jdf.queryExecution().explainString(  # noqa: SLF001
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    detail = {}
+    for blk in explained.split("\n\n"):
+        m = re.match(r"\((\d+)\)\s+(\S+)", blk.strip())
+        if m:
+            detail[int(m.group(1))] = (m.group(2), blk)
+    offenders = [
+        n
+        for n, (node, blk) in detail.items()
+        if node == "BroadcastExchange"
+        and "block_size" in blk
+        and not (
+            (child := detail.get(n - 1))
+            and child[0] == "Filter"
+            and "block_size" in child[1]
+            and ">" in child[1]
+        )
+    ]
+    assert not offenders, f"unfiltered size-table broadcast at {offenders}"
+
+
 def test_block_cap_drops_mega_blocks(spark):
     members = [("boiler", f"u{i:04d}") for i in range(50)] + [("ok", "a"), ("ok", "b")]
     blocks = spark.createDataFrame(members, "block_key string, url string")

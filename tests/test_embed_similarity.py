@@ -105,6 +105,43 @@ def test_random_projection_provider():
     assert p.embed_one(doc) == pytest.approx(list(m1[0]), abs=1e-5)
 
 
+def test_random_projection_cache_rejects_bad_files(tmp_path, monkeypatch):
+    """Weight-cache hygiene: files live in a per-uid 0o700 subdir, carry a
+    generation version in the name, and are shape/dtype-validated on load —
+    a stale or foreign .npy is regenerated, never silently used."""
+    import os
+
+    from semantic_entity_matching_spark.functions.embed import (
+        _RP_CACHE_VERSION,
+        _RP_WEIGHTS,
+        RandomProjectionEmbeddingProvider,
+    )
+
+    monkeypatch.setenv("SEM_SPARK_RP_CACHE", str(tmp_path))
+    _RP_WEIGHTS.clear()
+    p = RandomProjectionEmbeddingProvider(dim=16, feature_dim=64, depth=1)
+    W, P = p._weights()
+    cache_dir = tmp_path / f"sem_rp_cache_{os.getuid()}"
+    assert (os.stat(cache_dir).st_mode & 0o777) == 0o700
+    tag = f"sem_rp_v{_RP_CACHE_VERSION}_64x16_{p.seed:x}"
+    w_path = cache_dir / f"{tag}_W.npy"
+    assert w_path.exists()
+    # materialize before overwriting the file: W is an mmap of it, and
+    # touching pages past the truncated EOF would SIGBUS
+    W = np.array(W)
+
+    # corrupt the cached W with a wrong-shape/dtype array: the provider
+    # must regenerate rather than load it
+    np.save(str(w_path), np.zeros((3, 3), dtype=np.float64))
+    _RP_WEIGHTS.clear()
+    W2, P2 = RandomProjectionEmbeddingProvider(
+        dim=16, feature_dim=64, depth=1
+    )._weights()
+    assert W2.shape == (64, 64) and W2.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(W2), np.asarray(W))
+    _RP_WEIGHTS.clear()
+
+
 def test_cosine_udf_matches_oracle(spark):
     rows = [
         ("p", [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),

@@ -66,6 +66,17 @@ def test_golden_record_rejects_overlapping_fields(spark):
         )
 
 
+def test_golden_record_rejects_unknown_agg_fn(spark):
+    """agg_fields resolves via getattr(F, fn) — an allowlist must reject
+    anything outside min/max/sum/avg ('first' would silently yield a
+    partitioning-dependent survivor)."""
+    records = spark.createDataFrame([(1, 2.0)], "id long, bal double")
+    clusters = spark.createDataFrame([(1, 1)], "id long, cluster int")
+    for fn in ("first", "collect_list", "typo"):
+        with pytest.raises(ValueError, match="agg_fields"):
+            golden_record(records, clusters, "id", agg_fields={"bal": fn})
+
+
 def test_fellegi_sunter_score_weights_and_prob(spark):
     fields = [
         FSField("g_nat", m=0.95, u=0.04),

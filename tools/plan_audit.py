@@ -30,6 +30,7 @@ Usage: python tools/plan_audit.py
 
 from __future__ import annotations
 
+import re as _pa_re
 import sys
 import tempfile
 
@@ -260,6 +261,39 @@ def main() -> None:
         if no_union and n_joins <= 1
         else f"union={not no_union} shuffle_joins={n_joins} — cold/hot "
         "branches have un-fused",
+    )
+
+    # 10b. pair generation never broadcasts the FULL block-size table —
+    # that table is corpus-cardinality (one row per distinct key; ~35
+    # keys/doc on the webtext corpus) and a forced broadcast of it OOMs
+    # the driver at 1e12 docs.  Only the Zipf head (block_size > threshold)
+    # may broadcast: every BroadcastExchange whose input carries block_size
+    # must sit directly above a Filter on block_size.  Formatted-plan
+    # numbering is depth-first, so a unary node's child is (N-1).
+    detail_blocks = {}
+    for blk in e_pr.split("\n\n"):
+        m = _pa_re.match(r"\((\d+)\)\s+(\S+)", blk.strip())
+        if m:
+            detail_blocks[int(m.group(1))] = (m.group(2), blk)
+    bad_bx = []
+    for n, (node, blk) in detail_blocks.items():
+        if node != "BroadcastExchange" or "block_size" not in blk:
+            continue
+        child = detail_blocks.get(n - 1)
+        if not (
+            child
+            and child[0] == "Filter"
+            and "block_size" in child[1]
+            and ">" in child[1]
+        ):
+            bad_bx.append(n)
+    check(
+        "pairgen_no_fullsizes_broadcast",
+        not bad_bx,
+        "every size-table BroadcastExchange sits above a block_size filter"
+        if not bad_bx
+        else f"BroadcastExchange nodes {bad_bx} broadcast the UNfiltered "
+        "block-size table",
     )
 
     # 11. HTML extraction + outlink graph stay fully JVM: strip/entity/
