@@ -615,8 +615,14 @@ def duplicate_span_stats(
     ``n_windows = 0`` and a NULL fraction.
 
     Scale shape: window expansion is a pure flatMap emitting one key per
-    token position (xxhash64 -> 8 bytes/position; ``use_md5=True`` swaps
-    in md5 hex for engine-portable oracles at contract scale).  Then a
+    token position.  The default key is ``xxhash64`` applied DIRECTLY to
+    the length-``k`` token-array slice — no per-window string is ever
+    materialized (the old ``array_join`` form built a ~``k*avg_token``-
+    byte string per position just to hash it; at 100 TB that is the
+    pipeline's biggest transient allocation).  ``use_md5=True`` swaps in
+    md5-of-joined-string for engine-portable oracles at contract scale;
+    the two keys induce identical equality classes because whitespace
+    tokens cannot contain the join separator.  Then a
     (key, doc) partial aggregation collapses in-doc repeats map-side, the
     distinct-doc count is a second aggregate on the key, and the flagged
     keys join back to the (key, doc) table on the SAME key partitioning
@@ -635,6 +641,13 @@ def duplicate_span_stats(
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("_id"), toks.alias("_t"))
     )
+    if use_md5:
+        def window_key(i):  # engine-portable oracle twin (string + md5)
+            return F.md5(F.array_join(F.slice("_t", i + 1, k), " "))
+    else:
+        def window_key(i):  # hash the token slice itself — zero strings
+            return F.xxhash64(F.slice("_t", i + 1, k))
+
     grams = (
         base.where(F.size("_t") >= k)
         .select(
@@ -642,13 +655,12 @@ def duplicate_span_stats(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("_t") - F.lit(k)),
-                    lambda i: F.array_join(F.slice("_t", i + 1, k), " "),
+                    window_key,
                 )
-            ).alias("_g"),
+            ).alias("_h"),
         )
     )
-    key = F.md5(F.col("_g")) if use_md5 else F.xxhash64(F.col("_g"))
-    per = grams.select("_id", key.alias("_h")).groupBy("_h", "_id").agg(
+    per = grams.groupBy("_h", "_id").agg(
         F.count(F.lit(1)).alias("_c")
     )
     dup_keys = (
