@@ -266,6 +266,7 @@ def fs_edges_from_features(
     prior_init: float = 0.3,
     m_init: float = 0.9,
     u_init: float = 0.1,
+    em_sample_mod: int = 1,
 ) -> DataFrame:
     """Unsupervised match edges from a scored candidate-pair table →
     ``(id_a, id_b, score)`` where ``score`` is the FS posterior.
@@ -277,11 +278,24 @@ def fs_edges_from_features(
     the EM prior absorbs the resulting match-enrichment), and pairs at or
     above ``posterior_threshold`` become edges.
 
+    ``em_sample_mod > 1`` fits the EM on a deterministic 1/mod
+    hash-sample of the candidate pairs (``pmod(xxhash64(id_a, id_b),
+    mod) == 0``) instead of the full population: pattern-count EM is a
+    method-of-moments-style fit over <= 3^F cells, so cell FREQUENCIES —
+    not the pair count — carry all the information, and a
+    100k-pair sample pins m/u/prior to within Monte-Carlo noise of the
+    full fit (pinned by pytest).  The SCORING pass always sees every
+    pair.  Sampling is partitioning-independent and replayable; if the
+    sample lands empty (tiny inputs) the fit silently falls back to the
+    full population.
+
     The EM collect is one aggregate over <= 3^F agreement patterns; the
     scoring pass is pure codegen.  An empty candidate table yields an
     empty edge table (no EM run)."""
     if len(agree_thresholds) != len(feature_cols):
         raise ValueError("one threshold per feature col")
+    if em_sample_mod < 1:
+        raise ValueError(f"em_sample_mod must be >= 1, got {em_sample_mod}")
     g_cols = [f"g_{c}" for c in feature_cols]
     feats = features
     for c, g, t in zip(feature_cols, g_cols, agree_thresholds):
@@ -300,16 +314,38 @@ def fs_edges_from_features(
     # pass and by everything downstream of the returned edges — without
     # this it would recompute per consumer.
     feats = feats.localCheckpoint()
-    try:
-        fields, prior = estimate_fs_params(
-            feats,
+
+    def _fit(src: DataFrame):
+        return estimate_fs_params(
+            src,
             g_cols,
             prior_init=prior_init,
             m_init=m_init,
             u_init=u_init,
         )
-    except ValueError:
-        return empty_edges
+
+    fit_src = feats
+    if em_sample_mod > 1:
+        fit_src = feats.where(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in id_cols]),
+                F.lit(int(em_sample_mod)),
+            )
+            == 0
+        )
+    try:
+        fields, prior = _fit(fit_src)
+    except ValueError as exc:
+        # a sample that landed empty falls back to the full population;
+        # any other failure (or an empty population) keeps the original
+        # empty-edges contract
+        if em_sample_mod > 1 and "empty" in str(exc):
+            try:
+                fields, prior = _fit(feats)
+            except ValueError:
+                return empty_edges
+        else:
+            return empty_edges
     scored = fellegi_sunter_score(feats, fields, prior=prior)
     return scored.where(
         F.col("match_prob") >= F.lit(float(posterior_threshold))

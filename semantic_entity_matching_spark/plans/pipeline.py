@@ -103,6 +103,16 @@ class MatchConfig:
     scoring: str = "blended"
     fs_agree_thresholds: tuple = (0.80, 0.90, 0.80)  # cosine, jw, lev
     fs_posterior: float = 0.5
+    # EM-fit sampling (FS mode): fit m/u/prior on a deterministic 1/mod
+    # hash-sample of the candidate pairs — pattern-count EM needs cell
+    # frequencies, not the full pair table, so a ~fs_em_sample_target-pair
+    # sample reproduces the full fit to Monte-Carlo noise (pytest-pinned).
+    # None = auto: mod chosen from the measured candidate count so the fit
+    # sees ~fs_em_sample_target pairs (1 — full population — when the
+    # candidates are already small).  The scoring pass always sees every
+    # pair.
+    fs_em_sample_mod: int | None = None
+    fs_em_sample_target: int = 100_000
 
 
 @dataclass
@@ -379,6 +389,14 @@ def run_pipeline(
         # silently skew the FS u estimate (EM needs the candidate
         # population intact)
         raise ValueError("scoring='fellegi_sunter' requires quantization=None")
+    if config.fs_em_sample_mod is not None and config.fs_em_sample_mod < 1:
+        raise ValueError(
+            f"fs_em_sample_mod must be >= 1 or None, got {config.fs_em_sample_mod}"
+        )
+    if config.fs_em_sample_target < 1:
+        raise ValueError(
+            f"fs_em_sample_target must be >= 1, got {config.fs_em_sample_target}"
+        )
     counters: dict[str, int] = {}
     reporter = reporter or NullReporter()
     reporter.start_progress(total=N_PIPELINE_STAGES)
@@ -485,15 +503,25 @@ def run_pipeline(
             lambda: rerank_pairs(scored, records, config, prune=False),
             "pairs_reranked",
         )
+        em_mod = config.fs_em_sample_mod
+        if em_mod is None:
+            # the reranked stage just counted the candidate population —
+            # pick mod so the EM fit sees ~fs_em_sample_target pairs
+            n_cand = counters.get("pairs_reranked", 0)
+            em_mod = max(1, -(-n_cand // config.fs_em_sample_target))
         edges = stage(
             "edges",
             lambda: fs_edges_from_features(
                 reranked,
                 agree_thresholds=config.fs_agree_thresholds,
                 posterior_threshold=config.fs_posterior,
+                em_sample_mod=em_mod,
             ),
             "edges_emitted",
         )
+        counters["fs_em_sample_mod"] = em_mod
+        if checkpoint is not None:
+            checkpoint.add_counter("fs_em_sample_mod", em_mod)
     else:  # 'blended' — validated at entry
         reranked = stage(
             "reranked",

@@ -209,6 +209,25 @@ def test_fs_scoring_empty_input(spark, corpus):
     assert result.counters["edges_emitted"] == 0
 
 
+def test_fs_scoring_f1_with_em_sampling(spark, corpus):
+    """Forcing the EM fit onto a small hash-sample (fs_em_sample_target
+    far below the candidate count → auto mod > 1) must not move the F1
+    gate: the fit needs pattern frequencies, not the full pair table."""
+    pages, gold = corpus
+    result = run_pipeline(
+        pages,
+        MatchConfig(scoring="fellegi_sunter", fs_em_sample_target=200),
+    )
+    assert result.counters["fs_em_sample_mod"] > 1, result.counters
+    m = pairwise_metrics(predicted_pairs_from_clusters(result.clusters), gold)
+    assert m.f1 >= 0.99, (
+        f"sampled-EM FS F1={m.f1:.4f} (p={m.precision:.4f} r={m.recall:.4f})"
+    )
+    with pytest.raises(ValueError, match="fs_em_sample_mod"):
+        run_pipeline(pages, MatchConfig(scoring="fellegi_sunter",
+                                        fs_em_sample_mod=0))
+
+
 @pytest.mark.parametrize("seed", [13, 99])
 def test_fs_scoring_f1_seed_sweep(spark, seed):
     """The unsupervised FS mode must hold the F1 gate beyond the fixture

@@ -4,6 +4,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from semantic_entity_matching_spark.operators.resolve import (
     FSField,
@@ -162,6 +163,81 @@ def test_estimate_fs_params_recovers_planted(spark):
     scored = fellegi_sunter_score(pairs, fields, prior=lam)
     hi = scored.where("match_prob >= 0.5").count()
     assert abs(hi - n_match) / n_match < 0.25
+
+
+def test_fs_em_sampled_fit_matches_full(spark):
+    """fs_edges_from_features with em_sample_mod fits m/u/prior on a 1/mod
+    deterministic hash-sample; pattern-count EM is frequency-driven, so
+    the sampled parameters must land within Monte-Carlo noise of the full
+    fit AND the resulting edge set must be near-identical."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        estimate_fs_params,
+        fs_edges_from_features,
+    )
+
+    rng = np.random.RandomState(7)
+    m_true = np.array([0.95, 0.85, 0.90])
+    u_true = np.array([0.05, 0.20, 0.10])
+    n_match, n_non = 2_000, 18_000
+    g = np.vstack(
+        [
+            (rng.rand(n_match, 3) < m_true).astype(int),
+            (rng.rand(n_non, 3) < u_true).astype(int),
+        ]
+    )
+    # feature values placed firmly on the right side of the default-ish
+    # thresholds so the 0/1 agreement reproduces g exactly
+    rows = [
+        (int(i), int(i) + 1_000_000, *[0.95 if v else 0.30 for v in g[i]])
+        for i in range(len(g))
+    ]
+    feats = spark.createDataFrame(
+        rows, "id_a long, id_b long, cosine double, jaro_winkler double, "
+        "levenshtein double"
+    ).cache()
+
+    def fit(mod):
+        g_cols = ["g_cosine", "g_jaro_winkler", "g_levenshtein"]
+        src = feats
+        for c, t in (("cosine", 0.8), ("jaro_winkler", 0.9),
+                     ("levenshtein", 0.8)):
+            src = src.withColumn(f"g_{c}", (F.col(c) >= t).cast("int"))
+        if mod > 1:
+            src = src.where(
+                F.pmod(F.xxhash64("id_a", "id_b"), F.lit(mod)) == 0
+            )
+        return estimate_fs_params(src, g_cols, prior_init=0.3,
+                                  m_init=0.9, u_init=0.1)
+
+    fields_full, lam_full = fit(1)
+    # 1/4 sample = ~5,000 pairs / ~500 matches: m's Monte-Carlo std is
+    # ~sqrt(m(1-m)/500) ≈ 0.013, so 0.05 is a ~4-sigma pin (the pipeline
+    # default samples ~100k pairs — far tighter)
+    fields_samp, lam_samp = fit(4)
+    for ff, fs in zip(fields_full, fields_samp):
+        assert abs(ff.m - fs.m) < 0.05, (ff, fs)
+        assert abs(ff.u - fs.u) < 0.05, (ff, fs)
+    assert abs(lam_full - lam_samp) < 0.03
+
+    edges_full = {
+        (r["id_a"], r["id_b"])
+        for r in fs_edges_from_features(feats).collect()
+    }
+    edges_samp = {
+        (r["id_a"], r["id_b"])
+        for r in fs_edges_from_features(feats, em_sample_mod=4).collect()
+    }
+    sym = edges_full ^ edges_samp
+    assert len(sym) <= max(5, len(edges_full) // 100), (
+        f"sampled fit shifted {len(sym)} of {len(edges_full)} edges"
+    )
+    # a mod larger than the population: empty sample falls back to the
+    # full-population fit instead of emitting no edges
+    tiny = feats.limit(20)
+    assert fs_edges_from_features(
+        tiny, em_sample_mod=10_000_000
+    ).count() == fs_edges_from_features(tiny).count()
+    feats.unpersist()
 
 
 def test_estimate_fs_params_label_switch_repair(spark):
