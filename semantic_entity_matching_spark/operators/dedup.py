@@ -788,6 +788,32 @@ def assign_nearest_centroid(
     )
 
 
+def semantic_cell_audit(
+    assigned: DataFrame,
+    max_cell_size: int | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-cell pair-cost audit over an assignment table →
+    ``(cell, cell_size, implied_pairs)``, largest first.
+
+    Cells are SemDeDup's block-cap analog: a cell of ``b`` members costs
+    ``b(b-1)/2`` within-cell pairs, so one mega-cell (an under-trained or
+    too-coarse quantizer) is the same O(b²) risk the candidate-pair
+    block cap guards against.  With ``max_cell_size`` only the over-cap
+    cells are returned — the no-silent-caps audit for
+    :func:`semantic_dedup`'s ``max_cell_size`` drop, exactly like
+    ``dropped_blocks_audit`` for the pair generator."""
+    sizes = assigned.groupBy(cell_col).agg(
+        F.count(F.lit(1)).alias("cell_size")
+    )
+    if max_cell_size is not None:
+        sizes = sizes.where(F.col("cell_size") > int(max_cell_size))
+    return sizes.withColumn(
+        "implied_pairs",
+        (F.col("cell_size") * (F.col("cell_size") - 1) / 2).cast("bigint"),
+    ).orderBy(F.desc("cell_size"), F.asc(cell_col))
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -796,6 +822,7 @@ def semantic_dedup(
     cosine_threshold: float = 0.95,
     score_round: int | None = None,
     quantization: str | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     semantic dedup of an embedded corpus by cluster-then-prune →
@@ -820,6 +847,14 @@ def semantic_dedup(
     memory; skewed hot cells split under AQE) and the CC supersteps over
     the (usually tiny) duplicate-edge set.  The final window is keyed by
     component over narrow rows.
+
+    ``max_cell_size`` is the block-cap analog for cells: members of a
+    cell larger than it are EXCLUDED from pair generation (they become
+    keep=1 singletons — conservative: nothing is pruned on the strength
+    of an over-coarse cell), because one mega-cell is the same O(b²)
+    blow-up the candidate-pair block cap guards against.  Never a silent
+    cap: count :func:`semantic_cell_audit` ``(assigned, max_cell_size)``
+    alongside, the way the pipeline counts ``blocks_dropped``.
     """
     from semantic_entity_matching_spark.operators.cluster import (
         connected_components,
@@ -832,8 +867,19 @@ def semantic_dedup(
         vec_col=vec_col,
         score_round=score_round,
     )
+    pair_src = assigned
+    if max_cell_size is not None:
+        # the over-cap cell list is bounded by nlist (small by
+        # construction) — safe to broadcast, unlike a per-key table
+        over = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_csize"))
+            .where(F.col("_csize") > int(max_cell_size))
+            .select("cell")
+        )
+        pair_src = assigned.join(F.broadcast(over), "cell", "left_anti")
     pairs = embedding_near_duplicates(
-        assigned,
+        pair_src,
         id_col=id_col,
         vec_col=vec_col,
         bucket_col="cell",

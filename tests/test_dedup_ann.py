@@ -394,3 +394,51 @@ def test_semantic_dedup_survivor_and_cells(spark):
     assert out[7]["keep"] == 1 and out[8]["keep"] == 1
     assert out[7]["component"] != out[8]["component"]
     assert out[3]["keep"] == 1
+
+
+def test_semantic_dedup_cell_cap_and_audit(spark):
+    """max_cell_size: members of an over-cap cell are EXCLUDED from pair
+    generation (keep=1 singletons — conservative, nothing pruned via an
+    over-coarse cell) while small cells dedup normally; the audit reports
+    exactly the over-cap cells with their implied pair costs."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        assign_nearest_centroid,
+        semantic_cell_audit,
+        semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    # cell 0: 6 near-identical members (a mega-cell at cap 4);
+    # cell 1: 2 near-dups (under cap, dedups normally)
+    rows = [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(1, 7)] + [
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.02, 0.999, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(
+            df, cents, cosine_threshold=0.95, max_cell_size=4
+        ).collect()
+    }
+    # over-cap cell: every member survives as its own singleton component
+    assert all(out[i]["keep"] == 1 for i in range(1, 7))
+    assert len({out[i]["component"] for i in range(1, 7)}) == 6
+    # under-cap cell still dedups (survivor = least centroid-similar = 11)
+    assert out[10]["component"] == out[11]["component"]
+    assert (out[10]["keep"], out[11]["keep"]) == (0, 1)
+    # audit: exactly the over-cap cell, with b(b-1)/2 implied pairs
+    assigned = assign_nearest_centroid(df, cents)
+    audit = semantic_cell_audit(assigned, max_cell_size=4).collect()
+    assert [(r["cell"], r["cell_size"], r["implied_pairs"]) for r in audit] == [
+        (0, 6, 15)
+    ]
+    # audit without a cap covers every cell, largest first
+    full = semantic_cell_audit(assigned).collect()
+    assert [(r["cell"], r["cell_size"]) for r in full] == [(0, 6), (1, 2)]
+    # without the cap, the mega-cell collapses to one survivor
+    out_nocap = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(df, cents, cosine_threshold=0.95).collect()
+    }
+    assert sum(out_nocap[i]["keep"] for i in range(1, 7)) == 1
