@@ -112,7 +112,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family shuffle join + window top-k with pre-rounded rank key."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -128,7 +128,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q03_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast join (dims) + grouped aggregate."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -153,7 +153,7 @@ def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
-def q05_nation_top3_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_nation_top3_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 ranking window with deterministic tiebreak."""
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -171,7 +171,7 @@ def q05_nation_top3_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q06_never_f_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_never_f_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: EXCEPT (§2.7) — custkeys with orders but never status 'F'."""
     orders = _t(spark, sf_dir, "orders")
     all_ck = orders.select(F.col("o_custkey").alias("custkey")).distinct()
@@ -183,7 +183,7 @@ def q06_never_f_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_ck.subtract(f_ck)
 
 
-def q07_priority_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_priority_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 range filter pushed to scan + grouped agg."""
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -197,7 +197,7 @@ def q07_priority_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q08_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q56_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join (part) + agg — the broadcast-able join, broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
@@ -306,7 +306,7 @@ def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q15_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (C4/Gopher-style length/punct/stopword heuristics)."""
     from semantic_entity_matching_spark.functions.textops import quality_score
 
@@ -341,7 +341,7 @@ def q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q18_adjacent_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_adjacent_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification on a deterministic pair set."""
     from semantic_entity_matching_spark.operators.dedup import ngram_jaccard_verify
 
@@ -494,7 +494,7 @@ def q24_string_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q25_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 JSON parse: extract typed field from the events props payload."""
     events = _t(spark, sf_dir, "events")
     return events.select(
@@ -513,7 +513,7 @@ def q26_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q27_gold_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_gold_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 gold-label rank join: self-retrieval rank per query via BM25."""
     from semantic_entity_matching_spark.operators.search import (
         evaluate_gold_ranks,
@@ -536,7 +536,7 @@ def q27_gold_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 top-k accuracy metric over the gold ranks (reference
     lib/evaluate.py:20-34 percentages)."""
-    ranks = q27_gold_rank_eval(spark, sf_dir)
+    ranks = q60_gold_rank_eval(spark, sf_dir)
     return ranks.agg(
         F.round(
             F.sum((F.col("rank") <= 1).cast("long")) / F.count("*") * 100.0, 4
@@ -607,7 +607,7 @@ def q29_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q30_vectorize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_vectorize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's default vectorize mode (lib/vectorize_columns.py:40,
     83-88,136-158): N named columns → N sibling ``*_embedding`` columns
     (per-column strategy).  The md5 provider tiles 16 digest bytes to dim 64,
@@ -643,7 +643,7 @@ def q30_vectorize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q31_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q62_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 token estimation with the reference's byte-ratio fallback
     (file_token_estimator.py:110-164 + formats.py:15-29): text formats use
     the tokenizer path, image/other formats estimate int(bytes * ratio).
@@ -699,7 +699,7 @@ def q32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q64_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join over the events stream: every 10th event
     looks up the latest PRIOR event of the same user (build.ts <= probe.ts,
     ties: build-at-same-ts eligible, largest event_id wins).  Implemented as
@@ -804,7 +804,7 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 25 documents per language, chosen
     by md5(doc_id) order (engine-portable, partitioning-independent; ties
     by id).  One hash shuffle on the stratum, per-stratum window, no
@@ -834,7 +834,7 @@ def q38_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q39_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q66_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-token ratio +
     top-bigram fraction) — the exact-mode-frequency operator a web-corpus
     cleaning pipeline thresholds on.  Tokenize once, bigrams via zip_with
@@ -847,7 +847,7 @@ def q39_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_repetition_stats(docs, id_col="doc_id", text_col="text")
 
 
-def q40_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q68_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group percentiles (p50/p95/p99) of the event value — the
     distribution-profiling aggregate a data-quality dashboard runs per
     slice.  Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
@@ -881,7 +881,7 @@ def q41_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q42_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate with grouping_id — multi-granularity totals in ONE
     pass (per (flag, status), per flag, grand total); Catalyst expands the
     grouping sets map-side, so it costs one shuffle like a plain groupBy.
@@ -917,7 +917,7 @@ def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("url", url)
 
 
-def q43_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q70_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/host operators: parse_url host extraction (port stripped,
     www kept as a distinct host), registered-domain heuristic (two-part
     suffix aware: src*.co.uk stays three labels), per-domain corpus
@@ -928,10 +928,10 @@ def q43_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_stats(pages, url_col="url", text_col="text", by="domain")
 
 
-def q44_host_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q71_host_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain page cap: at most 7 pages per registered domain chosen by
     the deterministic md5(id) order (the crawl pipeline's anti-megahost
-    quota), with the q37/q38 stability guarantees."""
+    quota), with the q65/q38 stability guarantees."""
     from semantic_entity_matching_spark.functions.urlops import (
         host_stratified_sample,
         registered_domain,
@@ -1033,7 +1033,7 @@ def q48_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + deterministically planted PII (the driver corpus is
     letter-only word soup, so emails/phones/IPs are synthesized the same
-    way q43 synthesizes URLs: doc_id-derived, reproducible in ANSI SQL).
+    way q70 synthesizes URLs: doc_id-derived, reproducible in ANSI SQL).
     Every 3rd doc gains an email, every 4th a +1-555 phone, every 5th a
     dotted-quad IP — docs hit 0-3 of the kinds."""
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -1104,7 +1104,7 @@ def q50_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, id_col="doc_id", text_col="text2")
 
 
-def q51_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q02_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global corpus vocabulary census: top-25 token 3-grams with the
     deterministic (count desc, gram asc) tiebreak.  One partially-
     aggregated exchange + TakeOrdered — never a full sort of the gram
@@ -1115,7 +1115,7 @@ def q51_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, id_col="doc_id", text_col="text", n=3, k=25)
 
 
-def q52_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: every document assigned to a fixed
     2,000-token shard, greedily filled in deterministic md5(doc_id) order.
     The Spark plan is the bucket-aligned distributed prefix-sum
@@ -1132,7 +1132,7 @@ def q52_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q53_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup keep-best canonicalization — the decision a dedup pipeline
     actually ships: MinHash near-dup pairs (the exact q21 jaccard>=0.9
     contract) -> connected components (singletons included) -> per cluster
@@ -1172,7 +1172,7 @@ def q53_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _prefix_block_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, block_key) where the key is the first 10 alphanumeric
     chars of the lowercased text — the deliberately-simple, SQL-twin-able
-    blocking scheme q54/q55 EVALUATE (reduction ratio / completeness /
+    blocking scheme q06/q07 EVALUATE (reduction ratio / completeness /
     B-cubed).  Null text or an empty normalized key drops the doc from
     the keyed set (it becomes a singleton in clustering terms)."""
     return docs.select(
@@ -1183,7 +1183,7 @@ def _prefix_block_keys(docs: DataFrame) -> DataFrame:
     ).where(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
 
 
-def q54_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-evaluation metrics (reduction ratio / pairs completeness /
     pairs quality) of a 10-char-prefix blocking scheme against the exact
     jaccard>=0.9 gold pair set.  The candidate set runs through the REAL
@@ -1230,11 +1230,11 @@ def q54_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(cand, gold, n_records=n_records)
 
 
-def q55_bcubed_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_bcubed_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-cubed precision/recall/F1 of prefix-key clustering (each 10-char
     block key is one predicted cluster; unkeyed docs are singletons)
     against the MinHash jaccard>=0.9 connected-component gold clustering
-    (the exact q21/q53 contract).  Oracle recomputes both clusterings in
+    (the exact q21/q05 contract).  Oracle recomputes both clusterings in
     SQL (group-by key; recursive-CTE reachability) and the same
     cell-count B-cubed roll-up."""
     from semantic_entity_matching_spark.operators.cluster import (
@@ -1270,7 +1270,7 @@ def q55_bcubed_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_metrics(pred, gold)
 
 
-def q56_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-level canonical-URL dedup: the same page captured under messy
     URL variants (case-mangled scheme/host, userinfo, default ports,
     trailing slashes, shuffled query params, utm_*/gclid tracking junk,
@@ -1343,7 +1343,7 @@ def q56_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_url", "ts")
 
 
-def q57_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode web-text normalization: deterministically injected crawl
     junk (combining accent sequence, zero-width chars, CRLF, a BEL
     control, NBSP runs, tab soup) is cleaned by functions/textops.py
@@ -1420,7 +1420,7 @@ def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("html", html)
 
 
-def q58_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (the step upstream of every webtext
     operator): drop head, remove script/style bodies BEFORE the generic
     tag strip (they legally contain bare `<`), strip comments and tags,
@@ -1440,7 +1440,7 @@ def q58_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q59_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus link graph in-degree per registered target domain: href
     extraction (double-quoted, document order), absolute-http(s) filter
     (the relative link every page carries is dropped), host -> registered
@@ -1454,7 +1454,7 @@ def q59_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlink_domains(pages, html_col="html", id_col="doc_id")
 
 
-def q60_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus DF/IDF vocabulary: top-25 tokens by document frequency with
     sklearn smooth idf = ln((1+N)/(1+df)) + 1, deterministic (df desc,
     token asc) tiebreak.  Per-doc array_distinct collapses repeats before
@@ -1467,7 +1467,7 @@ def q60_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_frequency(docs, id_col="doc_id", text_col="text", k=25)
 
 
-def q61_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Excel scan (S2, reference lib/data_reader.py:51-69) through the
     stdlib SpreadsheetML parser (openpyxl absent here) over the committed
     fixture, with the reference's skip/limit resume semantics (skip 3
@@ -1478,7 +1478,7 @@ def q61_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_entity_matching_spark.sources.readers import read_excel
 
     df = read_excel(
-        spark, "/root/repo/fixtures/q61_catalog.xlsx",
+        spark, "/root/repo/fixtures/q30_catalog.xlsx",
         skip_rows=3, limit_rows=20,
     )
     return df.select(
@@ -1510,7 +1510,7 @@ def _docs_with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q62_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction contract: the mapInPandas decode ->
     mean-pool plumbing (byte-budgeted Arrow chunks, only the small
     feature vector crosses back) run with the deterministic fake decoder
@@ -1550,7 +1550,7 @@ def q63_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication mass per doc (Lee et al. 2022 family,
     window-hash form): rolling 8-token windows keyed by md5 (the
     engine-portable key; production default is xxhash64), a window is
@@ -1580,7 +1580,7 @@ def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: nearest-
     centroid assignment (8 deterministic md5-hash centroids — engine-
     portable, so the DuckDB twin recomputes the identical cells), within-
@@ -1604,7 +1604,7 @@ def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cell", "centroid_cos", "component", "keep")
 
 
-def q66_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship: fold customers into synthetic entity
     clusters (c_custkey % 300 — deterministic, replayable in SQL) and
     consolidate ONE row per cluster: modal c_mktsegment / c_nationkey
@@ -1634,7 +1634,7 @@ def q66_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q67_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic pair scoring: adjacent-custkey
-    candidate pairs (the q18/q24 pairing convention), 0/1 agreement on
+    candidate pairs (the q58/q24 pairing convention), 0/1 agreement on
     nationkey / mktsegment plus a null-able balance-proximity agreement
     (NULL when either balance is negative — exercises the
     missing-contributes-zero rule), fixed published-style m/u params,
@@ -1695,7 +1695,7 @@ def q67_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q68_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style self-perplexity: corpus unigram LM (additive 0.5
     smoothing, reserved unseen mass) scoring its own documents —
     bits/token + perplexity per doc; blank/null docs keep n_tokens=0
@@ -1710,7 +1710,7 @@ def q68_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q69_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-merge audit over the flagship clustering (q23's exact
     pipeline): per cluster, how many member pairs carry a DIRECT match
     edge vs. were glued by transitivity.  Low density = chain-merge risk
@@ -1741,7 +1741,7 @@ def q69_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q70_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL scan contract over a committed fixture with nested structs,
     arrays, nulls, a missing-fields line, unicode, and one MALFORMED line.
     Both engines anchor validity on ``id IS NOT NULL``: Spark drops the
@@ -1754,7 +1754,7 @@ def q70_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props struct<lang: string, score: double>, tags array<string>"
     )
     df = read_jsonl(
-        spark, "/root/repo/fixtures/q70_docs.jsonl", schema=ddl,
+        spark, "/root/repo/fixtures/q43_docs.jsonl", schema=ddl,
         drop_corrupt=True,
     )
     return df.where(F.col("id").isNotNull()).select(
@@ -1766,7 +1766,7 @@ def q70_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q71_fs_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_fs_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded (multi-level) Fellegi-Sunter scoring — the Splink
     comparison-level form: adjacent-custkey pairs, a 3-level balance
     proximity (exact-ish / close / far, NULL when either balance is
@@ -1833,76 +1833,76 @@ def q71_fs_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q02_top_customers": q02_top_customers,
-        "q03_region_rollup": q03_region_rollup,
+        "q02_top_ngrams": q02_top_ngrams,
+        "q03_pack_shards": q03_pack_shards,
         "q04_customers_without_orders": q04_customers_without_orders,
-        "q05_nation_top3_acctbal": q05_nation_top3_acctbal,
-        "q06_never_f_status_customers": q06_never_f_status_customers,
-        "q07_priority_range_agg": q07_priority_range_agg,
-        "q08_brand_volume": q08_brand_volume,
+        "q05_dedup_survivors": q05_dedup_survivors,
+        "q06_blocking_quality": q06_blocking_quality,
+        "q07_bcubed_clustering": q07_bcubed_clustering,
+        "q08_canonical_url_dedup": q08_canonical_url_dedup,
         "q09_user_hourly_events": q09_user_hourly_events,
         "q10_canonical_text": q10_canonical_text,
         "q11_query_text_valid": q11_query_text_valid,
         "q12_exact_dup_groups": q12_exact_dup_groups,
         "q13_fingerprint": q13_fingerprint,
         "q14_token_stats": q14_token_stats,
-        "q15_quality": q15_quality,
+        "q15_normalize_text": q15_normalize_text,
         "q16_lang_id": q16_lang_id,
         "q17_ann_topk": q17_ann_topk,
-        "q18_adjacent_jaccard": q18_adjacent_jaccard,
+        "q18_html_extract": q18_html_extract,
         "q19_lexical_bm25": q19_lexical_bm25,
         "q20_embedding_neardup": q20_embedding_neardup,
         "q21_minhash_neardup": q21_minhash_neardup,
         "q22_simhash_neardup": q22_simhash_neardup,
         "q23_entity_clusters": q23_entity_clusters,
         "q24_string_sims": q24_string_sims,
-        "q25_json_props": q25_json_props,
+        "q25_outlink_domains": q25_outlink_domains,
         "q26_embedding_audit": q26_embedding_audit,
-        "q27_gold_rank_eval": q27_gold_rank_eval,
+        "q27_document_frequency": q27_document_frequency,
         "q28_topk_accuracy": q28_topk_accuracy,
         "q29_search_rerank": q29_search_rerank,
-        "q30_vectorize_columns": q30_vectorize_columns,
-        "q31_token_estimate": q31_token_estimate,
+        "q30_excel_scan": q30_excel_scan,
+        "q31_media_features": q31_media_features,
         "q32_ivf_topk": q32_ivf_topk,
-        "q33_asof_join": q33_asof_join,
+        "q33_duplicate_spans": q33_duplicate_spans,
         "q34_range_join": q34_range_join,
         "q35_csv_scan": q35_csv_scan,
         "q36_sessionize": q36_sessionize,
-        "q37_stratified_sample": q37_stratified_sample,
+        "q37_semantic_dedup": q37_semantic_dedup,
         "q38_hash_sample": q38_hash_sample,
-        "q39_repetition_stats": q39_repetition_stats,
-        "q40_value_percentiles": q40_value_percentiles,
+        "q39_golden_record": q39_golden_record,
+        "q40_unigram_ppl": q40_unigram_ppl,
         "q41_chunk_documents": q41_chunk_documents,
-        "q42_rollup_volume": q42_rollup_volume,
-        "q43_host_stats": q43_host_stats,
-        "q44_host_sample": q44_host_sample,
+        "q42_cluster_cohesion": q42_cluster_cohesion,
+        "q43_jsonl_scan": q43_jsonl_scan,
+        "q44_fs_graded": q44_fs_graded,
         "q45_decontaminate": q45_decontaminate,
         "q46_repetition_extended": q46_repetition_extended,
         "q47_incremental_match": q47_incremental_match,
         "q48_gopher_filter": q48_gopher_filter,
         "q49_pii_redact": q49_pii_redact,
         "q50_line_dedup": q50_line_dedup,
-        "q51_top_ngrams": q51_top_ngrams,
-        "q52_pack_shards": q52_pack_shards,
-        "q53_dedup_survivors": q53_dedup_survivors,
-        "q54_blocking_quality": q54_blocking_quality,
-        "q55_bcubed_clustering": q55_bcubed_clustering,
-        "q56_canonical_url_dedup": q56_canonical_url_dedup,
-        "q57_normalize_text": q57_normalize_text,
-        "q58_html_extract": q58_html_extract,
-        "q59_outlink_domains": q59_outlink_domains,
-        "q60_document_frequency": q60_document_frequency,
-        "q61_excel_scan": q61_excel_scan,
-        "q62_media_features": q62_media_features,
+        "q51_top_customers": q51_top_customers,
+        "q52_region_rollup": q52_region_rollup,
+        "q53_nation_top3_acctbal": q53_nation_top3_acctbal,
+        "q54_never_f_status_customers": q54_never_f_status_customers,
+        "q55_priority_range_agg": q55_priority_range_agg,
+        "q56_brand_volume": q56_brand_volume,
+        "q57_quality": q57_quality,
+        "q58_adjacent_jaccard": q58_adjacent_jaccard,
+        "q59_json_props": q59_json_props,
+        "q60_gold_rank_eval": q60_gold_rank_eval,
+        "q61_vectorize_columns": q61_vectorize_columns,
+        "q62_token_estimate": q62_token_estimate,
         "q63_frame_sample": q63_frame_sample,
-        "q64_duplicate_spans": q64_duplicate_spans,
-        "q65_semantic_dedup": q65_semantic_dedup,
-        "q66_golden_record": q66_golden_record,
+        "q64_asof_join": q64_asof_join,
+        "q65_stratified_sample": q65_stratified_sample,
+        "q66_repetition_stats": q66_repetition_stats,
         "q67_fellegi_sunter": q67_fellegi_sunter,
-        "q68_unigram_ppl": q68_unigram_ppl,
-        "q69_cluster_cohesion": q69_cluster_cohesion,
-        "q70_jsonl_scan": q70_jsonl_scan,
-        "q71_fs_graded": q71_fs_graded,
+        "q68_value_percentiles": q68_value_percentiles,
+        "q69_rollup_volume": q69_rollup_volume,
+        "q70_host_stats": q70_host_stats,
+        "q71_host_sample": q71_host_sample,
     }
 
 
@@ -1929,7 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
-    sql["q02_top_customers"] = """
+    sql["q51_top_customers"] = """
         WITH rev AS (
             SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY o_custkey
@@ -1941,7 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_name, revenue, rk FROM ranked WHERE rk <= 10
     """
 
-    sql["q03_region_rollup"] = """
+    sql["q52_region_rollup"] = """
         SELECT r.r_name, n.n_name,
                count(*) AS n_customers,
                round(sum(c.c_acctbal), 2) AS total_acctbal
@@ -1958,7 +1958,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
     """
 
-    sql["q05_nation_top3_acctbal"] = """
+    sql["q53_nation_top3_acctbal"] = """
         WITH ranked AS (
             SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
                    row_number() OVER (
@@ -1969,13 +1969,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey, c_custkey, acctbal, rk FROM ranked WHERE rk <= 3
     """
 
-    sql["q06_never_f_status_customers"] = """
+    sql["q54_never_f_status_customers"] = """
         SELECT DISTINCT o_custkey AS custkey FROM orders
         EXCEPT
         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     """
 
-    sql["q07_priority_range_agg"] = """
+    sql["q55_priority_range_agg"] = """
         SELECT o_orderpriority,
                count(*) AS n_orders,
                round(avg(o_totalprice), 4) AS avg_price,
@@ -1985,7 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o_orderpriority
     """
 
-    sql["q08_brand_volume"] = """
+    sql["q56_brand_volume"] = """
         SELECT p.p_brand,
                round(sum(l.l_quantity), 2) AS sum_qty,
                count(*) AS n_items,
@@ -2059,7 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    sql["q15_quality"] = f"""
+    sql["q57_quality"] = f"""
         WITH feats AS (
             SELECT doc_id,
                    coalesce(length(text), 0) AS n_chars,
@@ -2147,7 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, candidate_id, score, rank FROM ranked WHERE rank <= 5
     """
 
-    sql["q18_adjacent_jaccard"] = """
+    sql["q58_adjacent_jaccard"] = """
         WITH toks AS (
             SELECT doc_id,
                    list_distinct(list_filter(
@@ -2247,7 +2247,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     """
 
-    sql["q25_json_props"] = """
+    sql["q59_json_props"] = """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         FROM events
@@ -2319,7 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    sql["q27_gold_rank_eval"] = _bm25_cte + """
+    sql["q60_gold_rank_eval"] = _bm25_cte + """
         SELECT query_id, rank FROM gold_ranks
     """
 
@@ -2468,7 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         for j in range(8)
     )
     # the full-pipeline CTE chain (embed → cosine → rerank → edges →
-    # reachability) is shared by q23 (cluster labels) and q69 (per-cluster
+    # reachability) is shared by q23 (cluster labels) and q42 (per-cluster
     # edge-density audit)
     _q23_cte = f"""
         WITH RECURSIVE toks AS (
@@ -2540,10 +2540,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
     """
 
-    # q69 — cohesion audit on the same pipeline: density = direct edges /
+    # q42 — cohesion audit on the same pipeline: density = direct edges /
     # (size choose 2); integer product is even so the /2 cast is exact;
     # singletons keep null density.
-    sql["q69_cluster_cohesion"] = _q23_cte + """, comps AS (
+    sql["q42_cluster_cohesion"] = _q23_cte + """, comps AS (
             SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id
         ), sizes AS (
             SELECT cluster_id, COUNT(*) AS size FROM comps GROUP BY cluster_id
@@ -2568,7 +2568,7 @@ def oracle_sql() -> dict[str, str]:
 
     # null column values embed to NULL (provider convention), so dims and
     # the cross cosine are NULL-propagating in both engines
-    sql["q30_vectorize_columns"] = f"""
+    sql["q61_vectorize_columns"] = f"""
         SELECT doc_id,
                CASE WHEN text IS NULL THEN NULL
                     ELSE CAST(64 AS BIGINT) END AS dim_text,
@@ -2603,7 +2603,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, candidate_id, score, rank FROM ranked WHERE rank <= 5
     """
 
-    sql["q31_token_estimate"] = """
+    sql["q62_token_estimate"] = """
         WITH sized AS (
             SELECT doc_id,
                    CASE lang WHEN 'en' THEN 'txt' WHEN 'de' THEN 'md'
@@ -2631,7 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ratios
     """
 
-    sql["q33_asof_join"] = """
+    sql["q64_asof_join"] = """
         WITH probes AS (
             SELECT * FROM events WHERE event_id % 10 = 0
         ), builds AS (
@@ -2707,9 +2707,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY user_id, session_id
     """
 
-    # q37/q38 — deterministic sampling, md5-keyed so both engines compute
+    # q65/q38 — deterministic sampling, md5-keyed so both engines compute
     # the identical sample set.
-    sql["q37_stratified_sample"] = """
+    sql["q65_stratified_sample"] = """
         WITH ranked AS (
           SELECT doc_id, lang,
                  row_number() OVER (
@@ -2727,8 +2727,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '19999999'
     """
 
-    # q39 — Gopher-style repetition signals, exact bigram mode frequency
-    sql["q39_repetition_stats"] = """
+    # q66 — Gopher-style repetition signals, exact bigram mode frequency
+    sql["q66_repetition_stats"] = """
         WITH d AS (
           SELECT doc_id,
                  list_filter(
@@ -2755,9 +2755,9 @@ def oracle_sql() -> dict[str, str]:
         FROM n LEFT JOIN bga USING (doc_id)
     """
 
-    # q40 — exact per-group percentiles (same linear interpolation rule in
+    # q68 — exact per-group percentiles (same linear interpolation rule in
     # both engines; count(value) skips NULLs like the quantile does)
-    sql["q40_value_percentiles"] = """
+    sql["q68_value_percentiles"] = """
         SELECT event_type,
                count(value) AS n_values,
                round(quantile_cont(value, 0.5), 6)  AS p50,
@@ -2794,8 +2794,8 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
 
-    # q42 — ROLLUP + GROUPING bitmask (ANSI bit order in both engines)
-    sql["q42_rollup_volume"] = """
+    # q69 — ROLLUP + GROUPING bitmask (ANSI bit order in both engines)
+    sql["q69_rollup_volume"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                count(*) AS n,
@@ -2805,7 +2805,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ------------------------------------------------------------------
-    # q43/q44 — URL/host operators over the deterministic synthetic url
+    # q70/q71 — URL/host operators over the deterministic synthetic url
     # (same construction as _docs_with_urls); host = authority regexp
     # (== parse_url HOST: port stripped, userinfo skipped, lowercased),
     # registered domain = last-2-labels with the two-part-suffix override.
@@ -2848,7 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    sql["q43_host_stats"] = f"""
+    sql["q70_host_stats"] = f"""
         WITH {_url_cte}
         SELECT domain,
                count(*) AS n_docs,
@@ -2861,7 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         FROM dom GROUP BY domain
     """
 
-    sql["q44_host_sample"] = f"""
+    sql["q71_host_sample"] = f"""
         WITH {_url_cte}, ranked AS (
           SELECT doc_id, domain,
                  row_number() OVER (
@@ -3217,8 +3217,8 @@ def oracle_sql() -> dict[str, str]:
         FROM counts c LEFT JOIN rebuilt r USING (doc_id)
     """
 
-    # q51 — global top-25 token 3-grams, (count desc, gram asc) tiebreak
-    sql["q51_top_ngrams"] = """
+    # q02 — global top-25 token 3-grams, (count desc, gram asc) tiebreak
+    sql["q02_top_ngrams"] = """
         WITH toks AS (
           SELECT doc_id,
                  list_filter(
@@ -3252,7 +3252,7 @@ def oracle_sql() -> dict[str, str]:
     # naive form of the distributed prefix-sum: ONE global window.  Shard =
     # exclusive prefix of token counts in md5(id) order, integer-divided by
     # the budget.  Integer arithmetic end to end (no float division).
-    sql["q52_pack_shards"] = """
+    sql["q03_pack_shards"] = """
         WITH t AS (
           SELECT doc_id,
                  md5(CAST(doc_id AS VARCHAR)) AS k,
@@ -3277,7 +3277,7 @@ def oracle_sql() -> dict[str, str]:
     # q21's quadratic jaccard pairs -> recursive reachability (component =
     # min id, q23's oracle shape) -> keep the longest doc per component
     # (ties to smallest doc_id)
-    sql["q53_dedup_survivors"] = """
+    sql["q05_dedup_survivors"] = """
         WITH RECURSIVE toks AS (
             SELECT doc_id, tok FROM (
                 SELECT doc_id,
@@ -3322,7 +3322,7 @@ def oracle_sql() -> dict[str, str]:
     # generator's observable semantics (prefix key, block cap 50, pair
     # dedup); gold = exact quadratic jaccard >= 0.9.  Integer counts cast
     # BIGINT; ratios rounded to 6 in both engines.
-    sql["q54_blocking_quality"] = """
+    sql["q06_blocking_quality"] = """
         WITH keys2 AS (
             SELECT doc_id,
                    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
@@ -3378,11 +3378,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # B-cubed: predicted clusters = prefix-key groups (component = min id,
-    # unkeyed docs singletons); gold clusters = q53's recursive-CTE
+    # unkeyed docs singletons); gold clusters = q05's recursive-CTE
     # reachability over exact jaccard >= 0.9 pairs; metric = cell-count
     # roll-up (mean per-record precision/recall collapses to
     # sum(i^2/size)/N)
-    sql["q55_bcubed_clustering"] = """
+    sql["q07_bcubed_clustering"] = """
         WITH RECURSIVE keys2 AS (
             SELECT doc_id,
                    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
@@ -3448,13 +3448,13 @@ def oracle_sql() -> dict[str, str]:
         FROM per
     """
 
-    # q56 — canonical-URL dedup: identical deterministic messy-URL synth
+    # q08 — canonical-URL dedup: identical deterministic messy-URL synth
     # (identity key doc_id % 250, mess keyed off doc_id), then the same
     # component-wise canonicalization as functions/urlops.canonical_url
     # (RE2-safe regexps; coalesce() because DuckDB's array_to_string of an
     # empty list is NULL where Spark's array_join is ''), then
     # latest-capture-wins per canonical key.
-    sql["q56_canonical_url_dedup"] = r"""
+    sql["q08_canonical_url_dedup"] = r"""
         WITH pages AS (
           SELECT doc_id,
                  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
@@ -3543,11 +3543,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ts DESC, doc_id ASC) = 1
     """
 
-    # q57 — unicode normalization: identical junk injection (chr() keeps
+    # q15 — unicode normalization: identical junk injection (chr() keeps
     # the SQL printable), then the same strip/NFC/collapse chain as
     # normalize_text.  RE2 needs \x{...} for codepoints >= 0x80; DuckDB's
     # nfc_normalize is the NFC twin of the pandas-UDF step.
-    sql["q57_normalize_text"] = r"""
+    sql["q15_normalize_text"] = r"""
         WITH junked AS (
           SELECT doc_id,
                  'Caf' || 'e' || chr(769) || chr(8203)
@@ -3581,7 +3581,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ------------------------------------------------------------------
-    # q58/q59 — HTML extraction + outlink graph over the deterministic
+    # q18/q25 — HTML extraction + outlink graph over the deterministic
     # synthetic page markup (same construction as _docs_with_html); the
     # strip/extract regexes are RE2-portable and run verbatim here.
     # ------------------------------------------------------------------
@@ -3625,7 +3625,7 @@ def oracle_sql() -> dict[str, str]:
             s = f"replace({s}, '{ent}', {ch})"
         return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
 
-    sql["q58_html_extract"] = f"""
+    sql["q18_html_extract"] = f"""
         WITH {_html_cte}, stripped AS (
           SELECT doc_id,
                  regexp_replace(regexp_replace(regexp_replace(
@@ -3645,7 +3645,7 @@ def oracle_sql() -> dict[str, str]:
         FROM stripped
     """
 
-    sql["q59_outlink_domains"] = f"""
+    sql["q25_outlink_domains"] = f"""
         WITH {_html_cte}, links AS (
           SELECT doc_id,
                  unnest(list_filter(regexp_extract_all(html,
@@ -3675,9 +3675,9 @@ def oracle_sql() -> dict[str, str]:
         FROM dom GROUP BY domain
     """
 
-    # q60 — DF/IDF vocabulary: distinct tokens per doc, smooth idf,
+    # q27 — DF/IDF vocabulary: distinct tokens per doc, smooth idf,
     # deterministic (df desc, token asc) top-25.
-    sql["q60_document_frequency"] = """
+    sql["q27_document_frequency"] = """
         WITH base AS (
           SELECT doc_id,
                  list_distinct(list_filter(
@@ -3702,14 +3702,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ------------------------------------------------------------------
-    # q61 — Excel scan: the oracle reads the CSV twin of the committed
+    # q30 — Excel scan: the oracle reads the CSV twin of the committed
     # xlsx fixture (q35 pattern; DuckDB has no xlsx reader), same ordered
     # skip-3 / limit-20 resume window.
     # ------------------------------------------------------------------
-    sql["q61_excel_scan"] = """
+    sql["q30_excel_scan"] = """
         WITH raw AS (
           SELECT *
-          FROM read_csv('/root/repo/fixtures/q61_catalog_utf8.csv',
+          FROM read_csv('/root/repo/fixtures/q30_catalog_utf8.csv',
                         header=true)
           ORDER BY row_id
           LIMIT 20 OFFSET 3
@@ -3722,13 +3722,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ------------------------------------------------------------------
-    # q62 — multimodal feature plumbing: the fake decoder tiles the md5
+    # q31 — multimodal feature plumbing: the fake decoder tiles the md5
     # digest 12x into 192 bytes (byte j = digest[j % 16]); bucket k
     # mean-pools bytes 3k..3k+2, and round(val*3) recovers the exact
     # integer sum — reproduced here with the md5 nibble-fold.  NULL text
     # -> zero features.
     # ------------------------------------------------------------------
-    sql["q62_media_features"] = """
+    sql["q31_media_features"] = """
         WITH media AS (
           SELECT 'm' || doc_id AS media_id, text FROM documents
         ), bytes AS (
@@ -3754,10 +3754,10 @@ def oracle_sql() -> dict[str, str]:
         FROM expl
     """
 
-    # q64 — exact-substring duplicate spans: rolling 8-token windows,
+    # q33 — exact-substring duplicate spans: rolling 8-token windows,
     # md5-keyed, duplicated = present in >= 2 distinct docs; the same
     # boilerplate injection as the Spark side.
-    sql["q64_duplicate_spans"] = """
+    sql["q33_duplicate_spans"] = """
         WITH t2 AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 4 = 0 THEN
@@ -3811,13 +3811,13 @@ def oracle_sql() -> dict[str, str]:
         FROM media WHERE media_type = 'video'
     """
 
-    # q65 — SemDeDup: the centroid table is recomputed from md5('cell-j')
+    # q37 — SemDeDup: the centroid table is recomputed from md5('cell-j')
     # hex (byte k -> k/128 - 1, tiled 16 -> 64: the q29 embedding trick),
     # assignment is argmax of the ROUNDED cosine with ties to the lowest
     # cell, near-dup pairs are within-cell only, components via the
     # recursive walk (== large/small-star fixpoint with component=min id),
     # survivor = (centroid_cos ASC, vec_id ASC) first row per component.
-    sql["q65_semantic_dedup"] = """
+    sql["q37_semantic_dedup"] = """
         WITH RECURSIVE cents AS (
           SELECT j::INT AS cell,
                  list_transform(range(0, 64), i ->
@@ -3868,11 +3868,11 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN comps c USING (vec_id)
     """
 
-    # q66 — golden-record survivorship: modal value per (cluster, field)
+    # q39 — golden-record survivorship: modal value per (cluster, field)
     # with ties to the smallest STRING-cast value (the operator melts
     # every field to strings, so '10' < '2'); all-null fields stay null;
     # nationkey cast back to INTEGER to match the source column type.
-    sql["q66_golden_record"] = """
+    sql["q39_golden_record"] = """
         WITH clus AS (
           SELECT c_custkey, c_custkey % 300 AS cluster, c_mktsegment,
                  CAST(c_nationkey AS VARCHAR) AS nk_s, c_acctbal
@@ -3944,12 +3944,12 @@ def oracle_sql() -> dict[str, str]:
         FROM w
     """
 
-    # q68 — unigram self-perplexity: the shared whitespace tokenizer, the
+    # q40 — unigram self-perplexity: the shared whitespace tokenizer, the
     # same smoothed logp formula in pure DOUBLE math (every count cast
     # before the decimal literals touch it), round-6 on the outputs.
     # Summation order across engines differs only at ~1e-12 — far inside
     # the rounding.
-    sql["q68_unigram_ppl"] = """
+    sql["q40_unigram_ppl"] = """
         WITH toks AS (
           SELECT doc_id,
                  unnest(list_filter(
@@ -3984,14 +3984,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN scored s USING (doc_id)
     """
 
-    # q70 — JSONL scan: DuckDB's ignore_errors nulls the malformed line
+    # q43 — JSONL scan: DuckDB's ignore_errors nulls the malformed line
     # (it does NOT skip it), so validity anchors on id IS NOT NULL in
     # both engines; len(NULL array) is NULL on both.
-    sql["q70_jsonl_scan"] = """
+    sql["q43_jsonl_scan"] = """
         SELECT id, title, props.lang AS lang,
                round(props.score, 2) AS score,
                len(tags) AS n_tags
-        FROM read_json('/root/repo/fixtures/q70_docs.jsonl',
+        FROM read_json('/root/repo/fixtures/q43_docs.jsonl',
                        format='newline_delimited',
                        columns={'id': 'BIGINT', 'title': 'VARCHAR',
                                 'props': 'STRUCT(lang VARCHAR, score DOUBLE)',
@@ -4000,7 +4000,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE id IS NOT NULL
     """
 
-    # q71 — graded FS: per-level log2(m[l]/u[l]) constants injected as
+    # q44 — graded FS: per-level log2(m[l]/u[l]) constants injected as
     # repr() of the SAME Python floats the Spark scorer bakes in.
     _w = {
         "nat0": _math.log2(0.05 / 0.96), "nat1": _math.log2(0.95 / 0.04),
@@ -4008,7 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "bal0": _math.log2(0.05 / 0.50), "bal1": _math.log2(0.15 / 0.30),
         "bal2": _math.log2(0.80 / 0.20),
     }
-    sql["q71_fs_graded"] = f"""
+    sql["q44_fs_graded"] = f"""
         WITH p AS (
           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                  CAST(a.c_nationkey = b.c_nationkey AS INT) AS lvl_nat,

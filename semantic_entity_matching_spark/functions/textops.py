@@ -28,9 +28,9 @@ def whitespace_tokens(col: str | Column) -> Column:
     on ``\\s+`` with empty tokens removed.
 
     Every operator whose tokenization must agree across the engine AND
-    with its DuckDB oracle twin (repetition stats q39/q46, Gopher flags
-    q48, n-gram census q51, DF/IDF q60, decontamination q45, span dedup
-    q64) calls THIS helper — the DuckDB form is
+    with its DuckDB oracle twin (repetition stats q66/q46, Gopher flags
+    q48, n-gram census q02, DF/IDF q27, decontamination q45, span dedup
+    q33) calls THIS helper — the DuckDB form is
     ``list_filter(string_split_regex(lower(trim(x)), '\\s+'), t -> t <> '')``.
     A tweak applied here changes all of them together; a tweak applied
     anywhere else silently forks the cross-operator tokenization contract.
@@ -715,7 +715,7 @@ def normalize_text(
 
     Every step independently toggleable; NULL in -> NULL out.  The strips
     and collapses are JVM regexps (codegen, scan speed).  DuckDB twin
-    (q57): the same regexp chain around ``nfc_normalize``.
+    (q15): the same regexp chain around ``nfc_normalize``.
     """
     c = _c(col)
     if strip_zero_width:

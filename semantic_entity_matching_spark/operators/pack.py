@@ -37,7 +37,7 @@ md5 uniformity keeps buckets balanced regardless of id skew.
 Determinism: the order key is md5(id), so the assignment is a pure
 function of (ids, token counts, budget) — independent of partitioning,
 executor count, and input row order, and reproducible in ANSI SQL (the
-q52 DuckDB oracle recomputes it with a window over ORDER BY key).
+q03 DuckDB oracle recomputes it with a window over ORDER BY key).
 """
 
 from __future__ import annotations

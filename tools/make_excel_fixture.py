@@ -1,8 +1,8 @@
-"""Generate the committed q61 Excel fixture + its CSV oracle twin.
+"""Generate the committed q30 Excel fixture + its CSV oracle twin.
 
-Writes ``fixtures/q61_catalog.xlsx`` — a minimal SpreadsheetML zip built
+Writes ``fixtures/q30_catalog.xlsx`` — a minimal SpreadsheetML zip built
 with the stdlib only, deterministic byte-for-byte (fixed zip timestamps,
-fixed member order) — and ``fixtures/q61_catalog_utf8.csv`` carrying the
+fixed member order) — and ``fixtures/q30_catalog_utf8.csv`` carrying the
 identical rows for the DuckDB oracle (DuckDB cannot read xlsx; the twin
 serves the same role as q35's UTF-8 CSV twin).
 
@@ -20,8 +20,8 @@ from __future__ import annotations
 import os
 import zipfile
 
-OUT_XLSX = "/root/repo/fixtures/q61_catalog.xlsx"
-OUT_CSV = "/root/repo/fixtures/q61_catalog_utf8.csv"
+OUT_XLSX = "/root/repo/fixtures/q30_catalog.xlsx"
+OUT_CSV = "/root/repo/fixtures/q30_catalog_utf8.csv"
 
 NAMES = ["alpha", "beta", "café", "delta", "epsilon"]
 CITIES = ["lyon", "osaka", "quito"]

@@ -301,26 +301,26 @@ def main() -> None:
     # would put a per-row interpreter in the hottest webtext path; the
     # DF/IDF top-k must be a TakeOrdered (per-partition heap), never a
     # global Sort of the token table.
-    e_html = explained_of(E.q58_html_extract(spark, SF))
-    e_out = explained_of(E.q59_outlink_domains(spark, SF))
+    e_html = explained_of(E.q18_html_extract(spark, SF))
+    e_out = explained_of(E.q25_outlink_domains(spark, SF))
     no_py = all(
         "evalpython" not in e for e in (e_html.lower(), e_out.lower())
     )
     check(
         "htmlops_jvm_only",
         no_py,
-        "no Python eval nodes in q58/q59 plans"
+        "no Python eval nodes in q18/q25 plans"
         if no_py
         else "Python eval node leaked into the HTML strip/outlink path",
     )
-    e_df = explained_of(E.q60_document_frequency(spark, SF))
+    e_df = explained_of(E.q27_document_frequency(spark, SF))
     ok_dfidf = "TakeOrderedAndProject" in e_df
     check(
         "dfidf_takeordered_topk",
         ok_dfidf,
         "top-k is TakeOrderedAndProject"
         if ok_dfidf
-        else "q60 top-k is not a TakeOrdered — global sort leaked in",
+        else "q27 top-k is not a TakeOrdered — global sort leaked in",
     )
 
     # 12. exact-substring span dedup aggregates on the window key — the
@@ -329,7 +329,7 @@ def main() -> None:
     # one unsplittable sort partition).
     import re as _re
 
-    e_spans = explained_of(E.q64_duplicate_spans(spark, SF)).lower()
+    e_spans = explained_of(E.q33_duplicate_spans(spark, SF)).lower()
     # match the Window NODE header in BOTH formatted-explain renderings —
     # tree lines ("+- Window (5)") and detail headers ("(5) Window") —
     # without tripping on windowspecdefinition arguments or the n_windows
@@ -356,7 +356,7 @@ def main() -> None:
     # must be the melt + count + min(struct) formulation, never a Window
     # over the melted table (hot mega-clusters would pile into one sort
     # partition).
-    e_gr = explained_of(E.q66_golden_record(spark, SF)).lower()
+    e_gr = explained_of(E.q39_golden_record(spark, SF)).lower()
     has_gr_window = bool(
         _re.search(
             r"(?:^|[-+:\s])\(\d+\)\s+window(?:grouplimit)?\b"
@@ -412,7 +412,7 @@ def main() -> None:
     # never a corpus-side broadcast of the (vocab-sized) LM table built
     # on the driver... a BroadcastNLJ over ONE row is the right plan; a
     # CartesianProduct anywhere is not.
-    e_ppl = explained_of(E.q68_unigram_ppl(spark, SF)).lower()
+    e_ppl = explained_of(E.q40_unigram_ppl(spark, SF)).lower()
     ok_ppl = "cartesianproduct" not in e_ppl
     check(
         "unigram_ppl_no_cartesian",
