@@ -39,7 +39,7 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -203,15 +203,12 @@ def fellegi_sunter_score(
         raise ValueError(f"prior must be in (0,1), got {prior}")
     expr = F.lit(0.0)
     for fld in fields:
-        w_agree = math.log2(fld.m / fld.u)
-        w_disagree = math.log2((1.0 - fld.m) / (1.0 - fld.u))
         # NULL must be tested explicitly: a NULL `when` condition falls
         # through to `otherwise`, which would charge the disagree weight.
-        expr = expr + (
-            F.when(F.col(fld.col).isNull(), F.lit(0.0))
-            .when(F.col(fld.col).cast("int") == 1, F.lit(w_agree))
-            .otherwise(F.lit(w_disagree))
-        )
+        # ONE weight expression shared with fs_edges_deferred's cheap-
+        # feature prefilter, so the upper bound and the final score are
+        # built from bit-identical per-field terms.
+        expr = expr + _binary_weight_expr(fld)
     return _with_posterior(
         pairs.withColumn(weight_col, expr), prior, weight_col, prob_col
     )
@@ -347,6 +344,151 @@ def fs_edges_from_features(
         else:
             return empty_edges
     scored = fellegi_sunter_score(feats, fields, prior=prior)
+    return scored.where(
+        F.col("match_prob") >= F.lit(float(posterior_threshold))
+    ).select(*id_cols, F.col("match_prob").alias("score"))
+
+
+def _binary_weight_expr(fld: FSField) -> Column:
+    """The per-field FS weight as a codegen when-chain (shared with
+    :func:`fellegi_sunter_score`): null → 0, agree → log2(m/u),
+    disagree → log2((1-m)/(1-u))."""
+    return (
+        F.when(F.col(fld.col).isNull(), F.lit(0.0))
+        .when(F.col(fld.col).cast("int") == 1, F.lit(math.log2(fld.m / fld.u)))
+        .otherwise(F.lit(math.log2((1.0 - fld.m) / (1.0 - fld.u))))
+    )
+
+
+def fs_edges_deferred(
+    feats: DataFrame,
+    add_deferred,
+    deferred_col: str = "jaro_winkler",
+    agree_thresholds: tuple = (0.80, 0.90, 0.80),
+    posterior_threshold: float = 0.5,
+    feature_cols: tuple = ("cosine", "jaro_winkler", "levenshtein"),
+    id_cols: tuple = ("id_a", "id_b"),
+    prior_init: float = 0.3,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+    em_sample_mod: int = 1,
+    counters: dict | None = None,
+    n_pairs: int | None = None,
+) -> DataFrame:
+    """:func:`fs_edges_from_features` with the EXPENSIVE feature deferred:
+    ``feats`` carries every feature except ``deferred_col``, and
+    ``add_deferred`` (df → df) computes that column on demand — in the
+    flagship this is the per-pair Python Jaro-Winkler, the engine's one
+    per-pair-Python stage.
+
+    Identical edges to the eager path at the same ``em_sample_mod``
+    (pytest-pinned), computed with the deferred feature evaluated on only
+
+    1. the EM SAMPLE (1/mod of the pairs — the fit genuinely needs all
+       three agreement bits), and
+    2. pairs whose CHEAP-feature weight plus the deferred field's maximum
+       possible weight still reaches the posterior threshold — an exact
+       upper bound in weight space (posterior is monotone in the weight),
+       so dropped pairs provably cannot be edges under ANY value of the
+       deferred feature.  On blocked webtext candidates the cheap
+       features are cosine and JVM-codegen Levenshtein, and the bulk of
+       candidates (g_cos = g_lev = 0 non-matches) never reaches Python.
+
+    ``counters`` (optional dict) receives ``fs_pairs_total``,
+    ``fs_jw_pairs`` (pairs that ran the deferred feature because the
+    upper bound kept them) and ``fs_jw_sample_pairs`` (pairs that ran it
+    inside the EM sample) — the no-silent-pruning audit.  Total per-pair
+    Python work is sample + survivors: ~``fs_em_sample_target`` +
+    decision-relevant pairs, INDEPENDENT of candidate count once the
+    auto mod engages."""
+    if len(agree_thresholds) != len(feature_cols):
+        raise ValueError("one threshold per feature col")
+    if em_sample_mod < 1:
+        raise ValueError(f"em_sample_mod must be >= 1, got {em_sample_mod}")
+    if deferred_col not in feature_cols:
+        raise ValueError(f"{deferred_col!r} not in feature_cols")
+    thresh = dict(zip(feature_cols, agree_thresholds))
+
+    def add_g(src: DataFrame, cols) -> DataFrame:
+        for c in cols:
+            src = src.withColumn(
+                f"g_{c}",
+                F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+                    (F.col(c) >= F.lit(float(thresh[c]))).cast("int")
+                ),
+            )
+        return src
+
+    cheap_cols = [c for c in feature_cols if c != deferred_col]
+    feats = add_g(feats, cheap_cols).localCheckpoint()
+    empty_edges = feats.where(F.lit(False)).select(
+        *id_cols, F.lit(0.0).alias("score")
+    )
+
+    def with_all_g(src: DataFrame) -> DataFrame:
+        return add_g(add_deferred(src), [deferred_col])
+
+    fit_src = feats
+    if em_sample_mod > 1:
+        fit_src = feats.where(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in id_cols]),
+                F.lit(int(em_sample_mod)),
+            )
+            == 0
+        )
+    g_cols = [f"g_{c}" for c in feature_cols]
+    try:
+        fields, prior = estimate_fs_params(
+            with_all_g(fit_src), g_cols,
+            prior_init=prior_init, m_init=m_init, u_init=u_init,
+        )
+    except ValueError as exc:
+        if em_sample_mod > 1 and "empty" in str(exc):
+            try:
+                fields, prior = estimate_fs_params(
+                    with_all_g(feats), g_cols,
+                    prior_init=prior_init, m_init=m_init, u_init=u_init,
+                )
+            except ValueError:
+                return empty_edges
+        else:
+            return empty_edges
+
+    by_col = {f.col: f for f in fields}
+    dfld = by_col[f"g_{deferred_col}"]
+    # max weight the deferred field can contribute: agree, disagree or
+    # missing (0) — whichever is largest (u > m is possible mid-EM-space)
+    w_def_max = max(
+        math.log2(dfld.m / dfld.u),
+        math.log2((1.0 - dfld.m) / (1.0 - dfld.u)),
+        0.0,
+    )
+    # posterior >= T  <=>  weight >= log2(T/(1-T) / prior_odds); compare
+    # in weight space (posterior is monotone), small margin for float
+    # association differences between the two weight expressions
+    prior_odds = prior / (1.0 - prior)
+    w_min = math.log2(
+        posterior_threshold / (1.0 - posterior_threshold) / prior_odds
+    )
+    w_cheap = F.lit(0.0)
+    for c in cheap_cols:
+        w_cheap = w_cheap + _binary_weight_expr(by_col[f"g_{c}"])
+    survivors = feats.where(
+        w_cheap + F.lit(w_def_max) >= F.lit(w_min - 1e-9)
+    ).localCheckpoint()
+    if counters is not None:
+        # pass n_pairs when the caller already counted the candidates
+        # (the pipeline's reranked-stage counter) — saves one scan job
+        counters["fs_pairs_total"] = (
+            n_pairs if n_pairs is not None else feats.count()
+        )
+        counters["fs_jw_pairs"] = survivors.count()
+        counters["fs_jw_sample_pairs"] = (
+            fit_src.count() if em_sample_mod > 1
+            else counters["fs_pairs_total"]
+        )
+    scored = fellegi_sunter_score(with_all_g(survivors), fields, prior=prior)
     return scored.where(
         F.col("match_prob") >= F.lit(float(posterior_threshold))
     ).select(*id_cols, F.col("match_prob").alias("score"))

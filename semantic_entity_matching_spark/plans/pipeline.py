@@ -96,10 +96,12 @@ class MatchConfig:
     # fs_agree_thresholds, m/u/prior are EM-fit on the blocked candidate
     # population (Splink's estimate-on-blocked-pairs practice), and a
     # pair becomes an edge when its posterior match probability reaches
-    # fs_posterior.  No labels, no hand-set match_threshold; the pruning
-    # bounds are disabled (every candidate needs all three features for
-    # honest u estimation), so the mode trades rerank compute for
-    # threshold-free operation.
+    # fs_posterior.  No labels, no hand-set match_threshold.  The blended
+    # rerank bounds don't apply, but the cost is still bounded: the EM fit
+    # sees a hash-sample (fs_em_sample_*) and, with fs_defer_jw, the
+    # per-pair Python JW runs only on that sample plus the pairs whose
+    # cheap-feature weight upper bound can still reach fs_posterior —
+    # both exact, identical edges to the eager form.
     scoring: str = "blended"
     fs_agree_thresholds: tuple = (0.80, 0.90, 0.80)  # cosine, jw, lev
     fs_posterior: float = 0.5
@@ -113,6 +115,18 @@ class MatchConfig:
     # pair.
     fs_em_sample_mod: int | None = None
     fs_em_sample_target: int = 100_000
+    # Defer the per-pair Python Jaro-Winkler in FS mode: compute it only
+    # on the EM sample plus the pairs whose cheap-feature (cosine +
+    # codegen Levenshtein) weight upper bound still reaches fs_posterior
+    # — an exact prune (identical edges, pytest-pinned), so the engine's
+    # one per-pair-Python stage runs on ~fs_em_sample_target +
+    # decision-relevant pairs instead of every candidate.  Deferral costs
+    # ~3 s of fixed overhead (two lineage cuts, audit counts, a second
+    # UDF stage — measured at sf0.1, BASELINE.md), so None (default) =
+    # AUTO: defer exactly when the EM sample mod engages (candidates >
+    # fs_em_sample_target — when there is something to save).  True/False
+    # force it.
+    fs_defer_jw: bool | None = None
 
 
 @dataclass
@@ -278,6 +292,7 @@ def rerank_pairs(
     records: DataFrame,
     config: MatchConfig,
     prune: bool = True,
+    with_jw: bool = True,
 ) -> DataFrame:
     """Stage 2 of scoring: expensive string metrics + blended score, only on
     pairs whose upper bound can still reach the threshold.  Joins the
@@ -338,6 +353,15 @@ def rerank_pairs(
     )
     if prune:
         out = out.where(jw_upper_bound >= F.lit(config.match_threshold - 1e-6))
+    if not with_jw:
+        # FS deferred-JW mode: every feature except the per-pair-Python
+        # Jaro-Winkler; the truncated text heads ride along so the
+        # deferred stage needs no second corpus join (<= 2*rerank_max_chars
+        # bytes/pair — the prefilter reads none of it)
+        return out.select(
+            "id_a", "id_b", "block_key", "cosine", "levenshtein",
+            "text_a", "text_b",
+        )
     return (
         out.withColumn(
             "jaro_winkler", jaro_winkler_udf(F.col("text_a"), F.col("text_b"))
@@ -495,30 +519,62 @@ def run_pipeline(
     )
     if config.scoring == "fellegi_sunter":
         from semantic_entity_matching_spark.operators.resolve import (
+            fs_edges_deferred,
             fs_edges_from_features,
         )
 
-        reranked = stage(
-            "reranked",
-            lambda: rerank_pairs(scored, records, config, prune=False),
-            "pairs_reranked",
-        )
+        # the scored stage already counted the candidate population
+        # (prune=False keeps every scored pair through rerank): size the
+        # EM sample mod and the auto defer decision from it BEFORE the
+        # rerank stage builds, so with_jw is known up front
+        n_cand = counters.get("pairs_scored", 0)
         em_mod = config.fs_em_sample_mod
         if em_mod is None:
-            # the reranked stage just counted the candidate population —
-            # pick mod so the EM fit sees ~fs_em_sample_target pairs
-            n_cand = counters.get("pairs_reranked", 0)
             em_mod = max(1, -(-n_cand // config.fs_em_sample_target))
-        edges = stage(
-            "edges",
-            lambda: fs_edges_from_features(
-                reranked,
-                agree_thresholds=config.fs_agree_thresholds,
-                posterior_threshold=config.fs_posterior,
-                em_sample_mod=em_mod,
+        defer = config.fs_defer_jw
+        if defer is None:
+            defer = em_mod > 1
+        reranked = stage(
+            "reranked",
+            lambda: rerank_pairs(
+                scored, records, config, prune=False, with_jw=not defer,
             ),
-            "edges_emitted",
+            "pairs_reranked",
         )
+        if defer:
+            fs_counters: dict[str, int] = {}
+
+            def build_edges_deferred() -> DataFrame:
+                return fs_edges_deferred(
+                    reranked,
+                    lambda df: df.withColumn(
+                        "jaro_winkler",
+                        jaro_winkler_udf(F.col("text_a"), F.col("text_b")),
+                    ),
+                    agree_thresholds=config.fs_agree_thresholds,
+                    posterior_threshold=config.fs_posterior,
+                    em_sample_mod=em_mod,
+                    counters=fs_counters,
+                    n_pairs=counters.get("pairs_reranked"),
+                )
+
+            edges = stage("edges", build_edges_deferred, "edges_emitted")
+            # filled during the build (empty on checkpoint resume)
+            counters.update(fs_counters)
+            if checkpoint is not None:
+                for k, v in fs_counters.items():
+                    checkpoint.add_counter(k, v)
+        else:
+            edges = stage(
+                "edges",
+                lambda: fs_edges_from_features(
+                    reranked,
+                    agree_thresholds=config.fs_agree_thresholds,
+                    posterior_threshold=config.fs_posterior,
+                    em_sample_mod=em_mod,
+                ),
+                "edges_emitted",
+            )
         counters["fs_em_sample_mod"] = em_mod
         if checkpoint is not None:
             checkpoint.add_counter("fs_em_sample_mod", em_mod)

@@ -209,6 +209,39 @@ def test_fs_scoring_empty_input(spark, corpus):
     assert result.counters["edges_emitted"] == 0
 
 
+def test_fs_defer_jw_identical_clusters_and_prunes(spark, corpus):
+    """Deferred-JW FS must produce the same clusters as the eager path,
+    the counters must prove Python JW ran on a strict subset of the
+    candidates, and the auto default defers exactly when the EM sample
+    mod engages."""
+    pages, gold = corpus
+    res_d = run_pipeline(
+        pages, MatchConfig(scoring="fellegi_sunter", fs_defer_jw=True)
+    )
+    res_e = run_pipeline(
+        pages, MatchConfig(scoring="fellegi_sunter", fs_defer_jw=False)
+    )
+    d = {(r["id"], r["component"]) for r in res_d.clusters.collect()}
+    e = {(r["id"], r["component"]) for r in res_e.clusters.collect()}
+    assert d == e
+    assert res_d.counters["fs_jw_pairs"] < res_d.counters["fs_pairs_total"], (
+        res_d.counters
+    )
+    m = pairwise_metrics(predicted_pairs_from_clusters(res_d.clusters), gold)
+    assert m.f1 >= 0.99
+    # auto (None): small corpus -> mod 1 -> eager (no defer counters);
+    # tiny sample target -> mod > 1 -> deferred
+    res_auto = run_pipeline(pages, MatchConfig(scoring="fellegi_sunter"))
+    assert res_auto.counters["fs_em_sample_mod"] == 1
+    assert "fs_jw_pairs" not in res_auto.counters
+    res_auto2 = run_pipeline(
+        pages,
+        MatchConfig(scoring="fellegi_sunter", fs_em_sample_target=200),
+    )
+    assert res_auto2.counters["fs_em_sample_mod"] > 1
+    assert "fs_jw_pairs" in res_auto2.counters
+
+
 def test_fs_scoring_f1_with_em_sampling(spark, corpus):
     """Forcing the EM fit onto a small hash-sample (fs_em_sample_target
     far below the candidate count → auto mod > 1) must not move the F1

@@ -240,6 +240,66 @@ def test_fs_em_sampled_fit_matches_full(spark):
     feats.unpersist()
 
 
+def test_fs_edges_deferred_matches_eager(spark):
+    """fs_edges_deferred computes the expensive feature only on the EM
+    sample + the pairs whose cheap-feature weight upper bound reaches the
+    posterior threshold — the edge set must be IDENTICAL to the eager
+    path at the same em_sample_mod, and the counters must show the
+    prefilter actually pruned."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        fs_edges_deferred,
+        fs_edges_from_features,
+    )
+
+    rng = np.random.RandomState(11)
+    m_true = np.array([0.95, 0.85, 0.90])
+    u_true = np.array([0.05, 0.20, 0.10])
+    g = np.vstack(
+        [
+            (rng.rand(1_500, 3) < m_true).astype(int),
+            (rng.rand(15_000, 3) < u_true).astype(int),
+        ]
+    )
+    rows = [
+        (int(i), int(i) + 1_000_000, *[0.95 if v else 0.30 for v in g[i]])
+        for i in range(len(g))
+    ]
+    feats = spark.createDataFrame(
+        rows, "id_a long, id_b long, cosine double, jaro_winkler double, "
+        "levenshtein double"
+    ).cache()
+    feats.count()
+
+    for mod in (1, 4):
+        eager = {
+            (r["id_a"], r["id_b"], round(r["score"], 9))
+            for r in fs_edges_from_features(
+                feats, em_sample_mod=mod
+            ).collect()
+        }
+        counters: dict = {}
+        deferred = {
+            (r["id_a"], r["id_b"], round(r["score"], 9))
+            for r in fs_edges_deferred(
+                feats.drop("jaro_winkler"),
+                # the "expensive" feature: rejoin the true jw by id pair
+                lambda df: df.join(
+                    feats.select("id_a", "id_b", "jaro_winkler"),
+                    ["id_a", "id_b"],
+                ),
+                em_sample_mod=mod,
+                counters=counters,
+            ).collect()
+        }
+        assert deferred == eager, f"mod={mod}: edge sets differ"
+        assert counters["fs_pairs_total"] == len(g)
+        # the bulk (g_cos=0 non-matches) never reaches the deferred stage
+        assert counters["fs_jw_pairs"] < counters["fs_pairs_total"] * 0.5, (
+            counters
+        )
+    feats.unpersist()
+
+
 def test_estimate_fs_params_label_switch_repair(spark):
     """The two-component likelihood is identical under (m,u,lam) ->
     (u,m,1-lam); initializing EM on the mirrored side MUST still come
