@@ -135,6 +135,39 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     assert cp2.manifest("pairs")["counters"]["pairs_generated"] > 0
 
 
+def test_checkpoint_resume_fs_mode(spark, corpus, tmp_path):
+    """Kill-and-resume must also hold in FS mode with the deferred-JW
+    path forced on: the edges stage (EM fit + deferred JW) re-runs from
+    the committed reranked snapshot, and resuming from a COMPLETE run
+    replays every stage from disk without re-fitting (counters intact,
+    no fs_* counters re-emitted — documented resume behavior)."""
+    import shutil
+
+    pages, _ = corpus
+    cfg = MatchConfig(
+        scoring="fellegi_sunter", fs_defer_jw=True, fs_em_sample_target=200
+    )
+    cp1 = CheckpointManager(str(tmp_path / "fsrun"), spark)
+    r1 = run_pipeline(pages, cfg, checkpoint=cp1)
+    baseline = {(r["id"], r["component"]) for r in r1.clusters.collect()}
+    assert r1.counters["fs_em_sample_mod"] > 1  # deferral engaged
+
+    # kill after 'reranked': edges + clusters re-run, EM re-fits on the
+    # identical hash-sample -> identical edges -> identical clusters
+    for stage in ("edges", "clusters", "cc_edges"):
+        shutil.rmtree(tmp_path / "fsrun" / stage, ignore_errors=True)
+    cp2 = CheckpointManager(str(tmp_path / "fsrun"), spark)
+    r2 = run_pipeline(pages, cfg, checkpoint=cp2, resume=True)
+    assert {(r["id"], r["component"]) for r in r2.clusters.collect()} == baseline
+    assert r2.counters["fs_jw_pairs"] == r1.counters["fs_jw_pairs"]
+
+    # full resume: every stage replays from disk
+    cp3 = CheckpointManager(str(tmp_path / "fsrun"), spark)
+    r3 = run_pipeline(pages, cfg, checkpoint=cp3, resume=True)
+    assert {(r["id"], r["component"]) for r in r3.clusters.collect()} == baseline
+    assert r3.counters["edges_emitted"] == r1.counters["edges_emitted"]
+
+
 def test_reporter_receives_stage_narrative(spark):
     """IReporter surface (reference lib/interfaces.py:11-31): stage messages,
     start/on/stop progress — wired through run_pipeline."""
