@@ -1830,6 +1830,25 @@ def q44_fs_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear quality classifier (Joulin et al.
+    2016; the CCNet/DCLM-style quality gate): sigmoid of the mean hashed
+    uni+bigram weight, zero Python, zero shuffle — pure higher-order
+    Column algebra at scan speed.  The hash-random weight table (md5
+    nibble-fold -> int in [-1000, 1000] / 1000) is engine-portable, so
+    the DuckDB twin recomputes the identical score; the integer fold
+    keeps the mean bit-identical — exp() is the only libm call."""
+    from semantic_entity_matching_spark.functions.textops import (
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hashed_linear_score("text", score_round=6).alias("q_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1903,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_rollup_volume": q69_rollup_volume,
         "q70_host_stats": q70_host_stats,
         "q71_host_sample": q71_host_sample,
+        "q72_quality_model": q72_quality_model,
     }
 
 
@@ -4038,6 +4058,42 @@ def oracle_sql() -> dict[str, str]:
                      / ({0.01 / 0.99!r}::DOUBLE * power(2.0::DOUBLE, mw)
                         + 1.0), 6) AS match_prob
         FROM w
+    """
+
+    # q72: hashed-linear quality model — 32-bit gram hash = the q23/q61
+    # md5 nibble-fold convention; integer weight fold (exact), one
+    # division, sigmoid.  Spark twin: textops.hashed_linear_score.
+    _qh32 = " + ".join(
+        "(instr('0123456789abcdef', substr(md5(x), %d, 1)) - 1) * %d"
+        % (j + 1, 16 ** (7 - j))
+        for j in range(8)
+    )
+    sql["q72_quality_model"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT doc_id,
+                   list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END) AS g
+            FROM toks
+        ), scored AS (
+            SELECT doc_id,
+                   list_sum(list_transform(
+                       g, x -> ({_qh32}) % 2001 - 1000))::DOUBLE
+                   / (len(g) * 1000.0) AS mean_w
+            FROM grams WHERE len(g) > 0
+        )
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-s.mean_w)), 6) AS q_score
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """
 
     return sql

@@ -883,3 +883,95 @@ def unigram_ppl_scores(
             "bits_per_token", F.round("bits_per_token", round_to)
         ).withColumn("ppl", F.round("ppl", round_to))
     return out
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+def _gram_hash32(gram: Column) -> Column:
+    """Engine-portable 32-bit gram hash: first 8 hex chars of ``md5``,
+    base-16 — DuckDB reproduces it as the nibble-fold
+    ``sum((instr('0123456789abcdef', substr(md5(g), j, 1)) - 1) * 16^(8-j))``
+    (the q23/q61 oracle convention)."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+
+
+def hashed_linear_score(
+    col: str | Column,
+    weights: list[float] | None = None,
+    include_bigrams: bool = True,
+    score_round: int | None = None,
+) -> Column:
+    """fastText-shaped quality classifier score in (0, 1): mean hashed
+    uni+bigram weight through a sigmoid — the model family behind the
+    public fastText quality filters (Joulin et al. 2016; the
+    CCNet/DCLM-style "does this look like good text" gate), re-expressed
+    as pure Column algebra.
+
+    Every gram (lowercase whitespace unigrams + adjacent bigrams, THE
+    shared :func:`whitespace_tokens` tokenization) hashes to a bucket
+    weight; the doc score is ``sigmoid(mean(weight))``.  With
+    ``weights`` (a trained table, one float per bucket) the lookup is
+    ``element_at(lit_array, pmod(hash, len(weights)) + 1)``; with
+    ``weights=None`` the weight derives directly from the hash
+    (``(h % 2001 - 1000)/1000`` ~ U[-1, 1]) — hash-random synthetic
+    weights that keep the full plumbing real and engine-portable while
+    no trained model ships in this environment (same honesty pattern as
+    ``RandomProjectionEmbeddingProvider``).
+
+    Scale shape: zero Python, zero shuffle — one whole-stage-codegen map
+    over higher-order array functions (transform/aggregate), so it runs
+    at scan speed next to the other quality columns.  Null/empty text →
+    NULL score.
+    """
+    c = _c(col)
+    toks = whitespace_tokens(c)
+    grams = toks
+    if include_bigrams:
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+
+    cnt = F.size(grams)
+    if weights is None:
+        # integer fold (each weight is an int in [-1000, 1000]), ONE
+        # division at the end: the mean is bit-identical across engines —
+        # the only remaining libm call is the sigmoid's exp
+        total = F.aggregate(
+            grams,
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc
+            + (F.pmod(_gram_hash32(g), F.lit(2001)) - F.lit(1000)),
+        )
+        mean = total.cast("double") / (cnt.cast("double") * F.lit(1000.0))
+    else:
+        if not weights:
+            raise ValueError("weights must be non-empty when given")
+        lit_table = F.array(*[F.lit(float(x)) for x in weights])
+        total = F.aggregate(
+            grams,
+            F.lit(0.0),
+            lambda acc, g: acc
+            + F.element_at(
+                lit_table,
+                (F.pmod(_gram_hash32(g), F.lit(len(weights))) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
+        mean = total / cnt.cast("double")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    out = F.when(
+        c.isNull() | (cnt == 0), F.lit(None).cast("double")
+    ).otherwise(score)
+    if score_round is not None:
+        out = F.round(out, score_round)
+    return out

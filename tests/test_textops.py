@@ -220,3 +220,59 @@ def test_unigram_ppl_cross_corpus_oov(spark):
     out2 = unigram_ppl_scores(cand, lm=bare_lm).collect()[0].asDict()
     assert out2["n_tokens"] == 2
     assert out2["bits_per_token"] is None and out2["ppl"] is None
+
+
+def test_hashed_linear_score_model_shape(spark):
+    """fastText-shaped hashed linear scorer: deterministic, (0,1)-bounded,
+    null/empty -> NULL, bigrams change the score, and the trained-weight
+    lookup path scores exactly sigmoid(mean(table[bucket]))."""
+    import math
+
+    import hashlib
+    from pyspark.sql import functions as F
+
+    from semantic_entity_matching_spark.functions.textops import (
+        hashed_linear_score,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),   # identical -> identical score
+        (3, "single"),                       # one token, no bigrams
+        (4, ""),                             # empty -> null
+        (5, None),                           # null -> null
+        (6, "THE  Quick   Brown fox JUMPS"), # normalization-identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hashed_linear_score("text").alias("s")
+        ).collect()
+    }
+    assert out[1] == out[2] == out[6]
+    assert 0.0 < out[1] < 1.0 and 0.0 < out[3] < 1.0
+    assert out[4] is None and out[5] is None
+    # bigrams participate: unigram-only differs from uni+bigram
+    uni = df.where("doc_id = 1").select(
+        hashed_linear_score("text", include_bigrams=False).alias("s")
+    ).collect()[0]["s"]
+    assert uni != out[1]
+
+    # trained-weight path: reproduce driver-side from the same md5 hash
+    weights = [round(math.sin(i), 4) for i in range(64)]
+
+    def h32(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    grams = ["single"]
+    want = 1.0 / (1.0 + math.exp(
+        -sum(weights[h32(g) % 64] for g in grams) / len(grams)
+    ))
+    got = df.where("doc_id = 3").select(
+        hashed_linear_score("text", weights=weights).alias("s")
+    ).collect()[0]["s"]
+    assert abs(got - want) < 1e-9
+
+    with pytest.raises(ValueError):
+        hashed_linear_score("text", weights=[])
