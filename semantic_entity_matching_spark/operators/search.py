@@ -165,11 +165,17 @@ def lexical_topk(
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     )
-    # idf is broadcast and joined FIRST: with a df cut it prunes stopword
-    # terms before the fan-out join against the (big) inverted index
+    # Join direction matters at corpus scale: the idf table is
+    # VOCABULARY-cardinality (one row per distinct surviving term — far
+    # too big to broadcast at 10^12 docs), while q_terms is eval-scale.
+    # So broadcast the QUERY terms into idf (vocabulary never moves),
+    # then broadcast the tiny (query term, idf) result into the big
+    # inverted index — the index is probed map-side and never shuffles
+    # for the scoring join.  The max-df stopword cut still prunes before
+    # the fan-out because q_idf only carries surviving terms.
+    q_idf = idf.select("term", "idf").join(F.broadcast(q_terms), "term")
     scored = (
-        q_terms.join(F.broadcast(idf.select("term", "idf")), "term")
-        .join(terms, "term")
+        terms.join(F.broadcast(q_idf), "term")
         .groupBy("query_id", "candidate_id")
         .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
     )
