@@ -13,9 +13,15 @@ service_integration.py:188-202).
 
 Scale shapes:
 * ``deterministic_sample``: pure filter — one scan, no shuffle, no sort.
-* ``stratified_sample``: one hash shuffle on the stratum + a per-stratum
-  window over the md5 order.  Skewed strata cost their own partition only
-  (rank-truncation to n keeps state bounded); there is no global sort.
+* ``stratified_sample``: the naive form (row_number over each whole
+  stratum) sorts an entire stratum in ONE task — a ``lang='en'`` stratum
+  is half a web corpus, and window partitions cannot be AQE-split.  The
+  implementation therefore pre-filters each stratum to the
+  ``~oversample*n`` smallest hash fractions (a PREFIX of the md5 order,
+  so the first-n is unchanged) and windows only the survivors; strata
+  the probabilistic filter under-delivers (Chernoff-rare) are re-done
+  exactly through a declarative fallback branch — deterministic result,
+  probabilistic work.
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ def stratified_sample(
     strata_col: str,
     n_per_stratum: int,
     id_col: str,
+    oversample: float = 4.0,
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, chosen by md5(id) order
     (ties broken by id — total order, so the sample is exact and unique).
@@ -60,14 +67,70 @@ def stratified_sample(
     The per-stratum 'first n by hash' IS a uniform sample of the stratum
     (md5 order is independent of any data attribute), with the same
     stability property as :func:`deterministic_sample`: a row's rank only
-    grows as the stratum grows, never reshuffles."""
+    grows as the stratum grows, never reshuffles.
+
+    Scale shape (the naive one-window form sorts a whole stratum in one
+    unsplittable task): each stratum is pre-filtered to hash fraction
+    ``< oversample * n / stratum_size`` — the fraction is a monotone
+    coarsening of the window's md5 sort key and the cut keeps complete
+    tie groups, so the survivors are a PREFIX of the stratum's order and
+    their first n equals the stratum's first n whenever at least
+    ``min(n, size)`` survive.  The window then sorts ~``oversample*n``
+    rows per stratum regardless of stratum size.  Strata the filter
+    under-delivers (probability ``exp(-Θ(n))`` per stratum at the
+    default oversample — but data-fixed, not a coin flip, so it MUST be
+    handled) are recomputed exactly through a declarative fallback
+    branch: the result is always exactly the spec, only the work is
+    probabilistic."""
     if n_per_stratum <= 0:
         raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
-    w = Window.partitionBy(strata_col).orderBy(
+    if oversample <= 0:
+        raise ValueError(f"oversample must be positive, got {oversample}")
+    out_cols = df.columns
+    # internal non-null stratum key: a NULL stratum is a legitimate group
+    # to the window but never matches an equi-join — tag it injectively
+    # ("n:" sentinel vs "v:"-prefixed value; within one column type the
+    # string cast is injective for standard types)
+    sk = F.when(F.col(strata_col).isNull(), F.lit("n:")).otherwise(
+        F.concat(F.lit("v:"), F.col(strata_col).cast("string"))
+    )
+    base = df.withColumn("_sk", sk)
+    w = Window.partitionBy("_sk").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
-    return (
-        df.withColumn("_sample_rank", F.row_number().over(w))
-        .where(F.col("_sample_rank") <= n_per_stratum)
-        .drop("_sample_rank")
+
+    sizes = base.groupBy("_sk").agg(F.count(F.lit(1)).alias("_ssize"))
+    thresh = F.least(
+        F.lit(1.0),
+        F.lit(float(oversample) * float(n_per_stratum)) / F.col("_ssize"),
     )
+    survivors = base.join(sizes, "_sk").where(_hash_fraction(id_col) < thresh)
+
+    # under-delivered strata: fewer survivors than min(n, size) — the
+    # prefix property then no longer covers the full first-n.  Includes
+    # strata whose filter kept zero rows (absent from survivors).
+    surv_counts = survivors.groupBy("_sk").agg(
+        F.count(F.lit(1)).alias("_nsurv")
+    )
+    bad = (
+        sizes.join(surv_counts, "_sk", "left")
+        .withColumn("_nsurv", F.coalesce(F.col("_nsurv"), F.lit(0)))
+        .where(
+            (F.col("_nsurv") < F.lit(int(n_per_stratum)))
+            & (F.col("_nsurv") < F.col("_ssize"))
+        )
+        .select("_sk")
+    )
+
+    def first_n(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("_sample_rank", F.row_number().over(w))
+            .where(F.col("_sample_rank") <= n_per_stratum)
+            .select(*out_cols)
+        )
+
+    ok_part = first_n(survivors.join(bad, "_sk", "left_anti"))
+    # exact fallback for the rare under-delivered strata: windows the
+    # FULL stratum, but only for strata the cheap path missed
+    redo_part = first_n(base.join(bad, "_sk", "semi"))
+    return ok_part.unionByName(redo_part)

@@ -354,6 +354,46 @@ def test_deterministic_sampling_stability(spark):
     assert a == b
 
 
+def test_stratified_sample_prefilter_exactness(spark):
+    """The per-stratum hash prefilter (the fix for the one-task
+    whole-stratum sort) must not change the sample: on a skewed corpus
+    where the filter genuinely fires (stratum_size >> oversample*n) the
+    output equals the naive full-window spec; forcing mass
+    under-delivery (oversample ~ 0) exercises the exact redo branch to
+    the same answer; NULL strata keep their own quota."""
+    from pyspark.sql import Window
+
+    from semantic_entity_matching_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    rows = [(i, "big" if i < 3000 else ("small" if i < 3020 else None))
+            for i in range(3040)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # naive spec: full window per stratum
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 7).drop("_rk").collect()
+    )
+    for oversample in (4.0, 1e-6):  # filter path / forced-redo path
+        got = sorted(
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(
+                df, "lang", 7, "doc_id", oversample=oversample
+            ).collect()
+        )
+        assert got == want, f"oversample={oversample}"
+    by_lang = {}
+    for _, lang in want:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang == {"big": 7, "small": 7, None: 7}
+
+
 def test_semantic_dedup_survivor_and_cells(spark):
     """SemDeDup contract: within-cell near-dups collapse to ONE survivor —
     the member LEAST similar to its centroid (diversity-keep, ties to the
