@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from semantic_entity_matching_spark.functions.similarity import cosine_udf
@@ -65,12 +65,21 @@ def drop_exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Keep the min-id row of each identical-content group (plus all
-    null-text rows untouched)."""
-    ranked = df.withColumn("_h", fingerprint_hex(text_col)).withColumn(
-        "_rk",
-        F.row_number().over(Window.partitionBy("_h").orderBy(F.col(id_col))),
+    null-text rows untouched).
+
+    Aggregate + semi-join, NOT a window over the hash: a mass-duplicated
+    page (real crawls carry 1e9 copies of one boilerplate page) would
+    pile its whole group into one unsplittable window sort partition,
+    while the min() aggregate combines map-side and the semi-join is an
+    ordinary splittable hash join on (hash, id)."""
+    hashed = df.withColumn("_h", fingerprint_hex(text_col))
+    keepers = (
+        hashed.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.col(id_col)).alias(id_col))
     )
-    return ranked.where(F.col("_h").isNull() | (F.col("_rk") == 1)).drop("_h", "_rk")
+    kept = hashed.join(keepers, ["_h", id_col], "semi")
+    return kept.unionByName(hashed.where(F.col("_h").isNull())).drop("_h")
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +570,30 @@ def dedup_lines(
 # near-dup survivor selection (keep-best canonicalization)
 # ---------------------------------------------------------------------------
 
+def _mark_one_survivor(
+    df: DataFrame, component_col: str, key: Column
+) -> DataFrame:
+    """keep=1 on the per-component row MINIMIZING ``key`` (the key must
+    embed the id so the order is total — exactly one row matches).
+
+    Aggregate + join, NOT a window over the component: a chain-merged
+    mega-component (the failure mode the cohesion audit q42 exists to
+    surface) would pile into one unsplittable window sort partition,
+    while min() combines map-side and a skewed join partition splits
+    under AQE.  The join is null-safe so a NULL component forms one
+    group, exactly as the window's partitionBy would."""
+    winners = (
+        df.groupBy(component_col)
+        .agg(F.min(key).alias("_wk"))
+        .withColumnRenamed(component_col, "_wc")
+    )
+    return (
+        df.join(winners, F.col(component_col).eqNullSafe(F.col("_wc")))
+        .withColumn("keep", (key == F.col("_wk")).cast("int"))
+        .drop("_wc", "_wk")
+    )
+
+
 def keep_best_representatives(
     assignments: DataFrame,
     score_col: str,
@@ -578,18 +611,23 @@ def keep_best_representatives(
     ``(id, component, score)`` assignment — compose with
     ``connected_components`` over near-dup pairs.
 
-    Scale shape: one window keyed by the cluster id.  Cluster sizes are
-    bounded by the upstream blocking caps (a pathological giant cluster
-    would already have tripped the ``blocks_dropped`` audit), so no
-    per-key skew mitigation is needed here; the payload through the
-    exchange is the narrow (id, component, score) triple.
+    Scale shape: a min() aggregate picks each cluster's winner and a
+    null-safe join marks it — never a window over the component, so a
+    chain-merged mega-component (the q42 cohesion-audit failure mode)
+    costs a splittable skew-join partition instead of one unsplittable
+    sort task.  The exchange payload is the narrow (id, component,
+    score) triple either way.
     """
-    w = Window.partitionBy(component_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    # window-desc-nulls-last semantics: non-null scores first (flag 0),
+    # then score descending (negated ascending), ties smallest id
+    key = F.struct(
+        F.col(score_col).isNull().cast("int").alias("null_last"),
+        (-F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias(
+            "neg_score"
+        ),
+        F.col(id_col).alias("id"),
     )
-    return assignments.withColumn(
-        "keep", (F.row_number().over(w) == 1).cast("int")
-    )
+    return _mark_one_survivor(assignments, component_col, key)
 
 
 # ---------------------------------------------------------------------------
@@ -901,7 +939,10 @@ def semantic_dedup(
             "component", F.coalesce(F.col("component"), F.col(id_col))
         )
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("centroid_cos").asc(), F.col(id_col).asc()
+    # diversity-keep survivor: least centroid-similar member, ties to the
+    # smallest id — via the aggregate+join survivor mark (splittable under
+    # AQE; a window would put a mega-component into one sort task)
+    key = F.struct(
+        F.col("centroid_cos").alias("cos"), F.col(id_col).alias("id")
     )
-    return out.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+    return _mark_one_survivor(out, "component", key)
