@@ -374,6 +374,32 @@ def main() -> None:
         else "Window/rangepartitioning leaked into the golden-record plan",
     )
 
+    # 13b. survivor selection (keep-best, SemDeDup diversity-keep) is
+    # aggregate + join — NO Window node: a chain-merged mega-component
+    # would pile into one unsplittable window sort task, while the
+    # min(struct) aggregate combines map-side and a skewed join splits
+    # under AQE.
+    for qname, fn in (
+        ("q05_dedup_survivors", E.q05_dedup_survivors),
+        ("q37_semantic_dedup", E.q37_semantic_dedup),
+    ):
+        e_sv = explained_of(fn(spark, SF)).lower()
+        has_w = bool(
+            _re.search(
+                r"(?:^|[-+:\s])\(\d+\)\s+window(?:grouplimit)?\b"
+                r"|^[\s:+|-]*window(?:grouplimit)?\s+\(\d+\)",
+                e_sv,
+                _re.M,
+            )
+        )
+        check(
+            f"survivor_no_window_{qname.split('_')[0]}",
+            not has_w,
+            "aggregate+join survivor mark (no Window node)"
+            if not has_w
+            else f"a Window node leaked into the {qname} plan",
+        )
+
     # 14. FS scoring is pure codegen: the baked-in log-weight literals
     # must not drag a Python eval node into the pair table's hot path.
     e_fs = explained_of(E.q67_fellegi_sunter(spark, SF)).lower()
