@@ -35,6 +35,36 @@ def _rank_window(query_col: str) -> Window:
     )
 
 
+def ranked_topk(scored: DataFrame, k: int, query_col: str = "query_id") -> DataFrame:
+    """Per-query top-k of a ``(query_id, candidate_id, score)`` table
+    WITHOUT a candidate-set-sized sort partition.
+
+    A single window per query sorts that query's whole candidate set in
+    ONE task — corpus-cardinality for brute force, and window partitions
+    cannot be AQE-split.  Two-phase salted form instead: rank within
+    ``(query, spark_partition_id)`` (each group bounded by its input
+    partition's slice), keep <= k per group, then merge the
+    <= k * num_partitions survivors in a final per-query window.  Exact
+    under the (score desc, candidate_id asc) total order: every global
+    top-k row ranks <= k within its own partition, so phase 1 never
+    drops a winner; ties resolve identically because both phases use the
+    same total order.  Output is partitioning-independent."""
+    part = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(query_col, "_pid").orderBy(
+        F.desc("score"), F.asc("candidate_id")
+    )
+    pruned = (
+        part.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_pid", "_r1")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(_rank_window(query_col)))
+        .where(F.col("rank") <= k)
+        .select(query_col, "candidate_id", "score", "rank")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -67,11 +97,9 @@ def brute_force_topk(
     scored = scored.where(F.col("score").isNotNull())
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
-    return (
-        scored.withColumn("rank", F.row_number().over(_rank_window("query_id")))
-        .where(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "score", "rank")
-    )
+    # salted two-phase top-k: the corpus-cardinality per-query candidate
+    # set must never sort in one window task
+    return ranked_topk(scored, k)
 
 
 def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int) -> np.ndarray:
@@ -173,10 +201,9 @@ def lsh_topk(
     # bucket set yields >= k*overfetch collisions when n_tables is sized
     # right); the final exact rank truncates to k like the reference's
     # caller-side cut.
-    ranked = scored.withColumn("rank", F.row_number().over(_rank_window("query_id")))
-    return ranked.where(F.col("rank") <= k).select(
-        "query_id", "candidate_id", "score", "rank"
-    )
+    # hot buckets make a query's candidate set unbounded: salted
+    # two-phase top-k, never one window task per query
+    return ranked_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -375,8 +402,6 @@ def ivf_topk(
     )
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
-    return (
-        scored.withColumn("rank", F.row_number().over(_rank_window("query_id")))
-        .where(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "score", "rank")
-    )
+    # a hot probed cell makes the candidate set unbounded: salted
+    # two-phase top-k, never one window task per query
+    return ranked_topk(scored, k)

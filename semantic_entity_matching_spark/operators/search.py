@@ -183,12 +183,11 @@ def lexical_topk(
         # round BEFORE ranking: float near-ties become exact ties broken by
         # candidate_id — reproducible top-k across engines/partitionings
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("candidate_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "score", "rank")
-    )
+    # a common query term matches an unbounded slice of the corpus —
+    # salted two-phase top-k, never one window task per query
+    from semantic_entity_matching_spark.operators.ann import ranked_topk
+
+    return ranked_topk(scored, k)
 
 
 def search_and_rerank(

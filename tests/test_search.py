@@ -149,3 +149,39 @@ def test_gold_rank_null_when_not_retrieved(spark, catalog, queries):
     # top-k metric semantics: nulls count in denominator (reference
     # lib/evaluate.py:20-34)
     assert top_k_metric(ranked, k=5) == pytest.approx(100.0 / 3)
+
+
+def test_ranked_topk_partitioning_independent(spark):
+    """The salted two-phase top-k (rank within (query, input partition),
+    then merge) must return the exact global top-k under ANY input
+    partitioning — phase 1 never drops a winner because every global
+    top-k row ranks <= k within its own partition under the same total
+    order."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from semantic_entity_matching_spark.operators.ann import ranked_topk
+
+    random.seed(5)
+    rows = [
+        (q, c, round(random.random(), 3))  # coarse scores force ties
+        for q in range(4)
+        for c in range(500)
+    ]
+    df = spark.createDataFrame(rows, "query_id int, candidate_id int, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("candidate_id")
+    )
+    want = sorted(
+        (r["query_id"], r["candidate_id"], r["score"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7).collect()
+    )
+    for parts in (1, 3, 64):
+        got = sorted(
+            (r["query_id"], r["candidate_id"], r["score"], r["rank"])
+            for r in ranked_topk(df.repartition(parts), 7).collect()
+        )
+        assert got == want, f"partitions={parts}"
