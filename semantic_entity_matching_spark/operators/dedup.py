@@ -619,7 +619,10 @@ def keep_best_representatives(
     score) triple either way.
     """
     # window-desc-nulls-last semantics: non-null scores first (flag 0),
-    # then score descending (negated ascending), ties smallest id
+    # then score descending (negated ascending), ties smallest id.  (NaN
+    # scores are out of contract: every score the engine produces is a
+    # bounded similarity; a NaN would win a desc window but lose min() —
+    # callers feeding external scores should scrub NaN first.)
     key = F.struct(
         F.col(score_col).isNull().cast("int").alias("null_last"),
         (-F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias(
