@@ -1849,6 +1849,27 @@ def q72_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/C4-style domain-blocklist gate: drop pages whose host equals a
+    blocklisted pattern or is a subdomain of it (label-boundary suffix
+    match — 'site3.com' blocks www.site3.com, never notsite3.com).  The
+    blocklist is a TABLE joined by registered domain (real lists are
+    millions of domains — never a forced broadcast); the oracle replays
+    the same pattern-keyed join in SQL."""
+    from semantic_entity_matching_spark.functions.urlops import (
+        filter_blocked_urls,
+        url_host,
+    )
+
+    pages = _docs_with_urls(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [("site3.com",), ("www.site5.co.uk",), ("site9.org",)],
+        "pattern string",
+    )
+    kept = filter_blocked_urls(pages, bl, url_col="url")
+    return kept.select("doc_id", url_host("url").alias("host"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1923,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_host_stats": q70_host_stats,
         "q71_host_sample": q71_host_sample,
         "q72_quality_model": q72_quality_model,
+        "q73_blocklist_filter": q73_blocklist_filter,
     }
 
 
@@ -4094,6 +4116,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                round(1.0 / (1.0 + exp(-s.mean_w)), 6) AS q_score
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+    # q73: the generic blocklist join replayed in SQL — patterns get the
+    # same registered-domain heuristic, hosts match on label boundaries
+    sql["q73_blocklist_filter"] = f"""
+        WITH {_url_cte},
+        pats AS (
+          SELECT pat,
+                 CASE WHEN len(pp) <= 1 THEN pat
+                      WHEN len(pp) >= 3
+                           AND (pp[-2] || '.' || pp[-1]) IN ({_suffix_in})
+                        THEN pp[-3] || '.' || pp[-2] || '.' || pp[-1]
+                      ELSE pp[-2] || '.' || pp[-1] END AS prd
+          FROM (SELECT pat, string_split(pat, '.') AS pp
+                FROM (VALUES ('site3.com'), ('www.site5.co.uk'),
+                             ('site9.org')) t(pat))
+        ),
+        blocked AS (
+          SELECT DISTINCT d.doc_id
+          FROM dom d JOIN pats p ON d.domain = p.prd
+          WHERE d.host = p.pat OR d.host LIKE '%.' || p.pat
+        )
+        SELECT d.doc_id, d.host
+        FROM dom d LEFT JOIN blocked b ON d.doc_id = b.doc_id
+        WHERE b.doc_id IS NULL
     """
 
     return sql

@@ -222,3 +222,50 @@ def host_stratified_sample(
         with_domain, strata_col="_domain", n_per_stratum=n_per_domain,
         id_col=id_col,
     ).drop("_domain")
+
+
+def filter_blocked_urls(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Drop rows whose URL host falls under a blocklisted host pattern —
+    the UT1/C4/RefinedWeb-style domain-blocklist gate of a crawl pipeline.
+
+    A pattern blocks its exact host AND every subdomain: pattern
+    ``example.com`` drops ``example.com``, ``www.example.com``,
+    ``a.b.example.com`` — never ``notexample.com`` (suffix matching is on
+    label boundaries).  Unparseable/NULL-host rows pass through (the
+    blocklist can't match what has no host; quality gates handle garbage).
+
+    Scale shape: blocklists are MILLIONS of rows (the public UT1 adult
+    list alone is ~4M domains) — never a forced broadcast.  Both sides
+    key on the REGISTERED domain, so the match is an ordinary hash
+    equi-join (one narrow shuffle each side; AQE may still broadcast a
+    small list) and the label-boundary suffix check runs as a join
+    residual only on same-registered-domain candidates.  Rows are then
+    removed with a null-safe left anti join on the row's own URL.
+    """
+    host = F.lower(F.trim(_c(pattern_col)))
+    pats = blocklist.where(host.isNotNull() & (host != "")).select(
+        host.alias("_pat"), registered_domain(host).alias("_prd")
+    )
+    keyed = df.select(
+        F.col(url_col).alias("_u"),
+        url_host(url_col).alias("_h"),
+    ).where(F.col("_h").isNotNull()).withColumn(
+        "_hrd", registered_domain(F.col("_h"))
+    )
+    blocked_urls = (
+        keyed.join(pats, F.col("_hrd") == F.col("_prd"))
+        .where(
+            (F.col("_h") == F.col("_pat"))
+            | F.col("_h").endswith(F.concat(F.lit("."), F.col("_pat")))
+        )
+        .select(F.col("_u").alias("_blocked_u"))
+        .distinct()
+    )
+    return df.join(
+        blocked_urls, F.col(url_col).eqNullSafe(F.col("_blocked_u")), "left_anti"
+    )

@@ -230,3 +230,34 @@ def test_canonical_url_dedup(spark):
         4: "http://b.org/p?a=2&z=1",
         6: "http://b.org:8080/p?a=2&z=1",
     }
+
+
+def test_filter_blocked_urls_label_boundaries_and_nulls(spark):
+    """Blocklist gate: a pattern blocks its host and every subdomain on
+    LABEL boundaries only; unparseable/null-host rows pass through; null
+    and blank patterns are ignored."""
+    from semantic_entity_matching_spark.functions.urlops import (
+        filter_blocked_urls,
+    )
+
+    rows = [
+        (1, "https://example.com/a"),          # exact -> blocked
+        (2, "https://www.example.com/b"),      # subdomain -> blocked
+        (3, "https://a.b.example.com/c"),      # deep subdomain -> blocked
+        (4, "https://notexample.com/d"),       # suffix WITHOUT boundary -> kept
+        (5, "https://example.com.evil.org/e"), # different reg. domain -> kept
+        (6, "https://bad.co.uk/f"),            # two-part-suffix pattern -> blocked
+        (7, "https://alsobad.co.uk/g"),        # sibling domain -> kept
+        (8, None),                              # null url -> kept
+        (9, "not a url at all"),                # unparseable -> kept
+        (10, "https://deep.bad.co.uk/h"),       # subdomain of 6 -> blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("example.com",), ("bad.co.uk",), (None,), ("  ",)],
+        "pattern string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_urls(df, bl).collect()
+    )
+    assert kept == [4, 5, 7, 8, 9]
