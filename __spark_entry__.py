@@ -1870,6 +1870,35 @@ def q73_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", url_host("url").alias("host"))
 
 
+def q74_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the corpus domain link graph (Page et
+    al. 1999): edges = (source registered domain -> target registered
+    domain) from the synthetic pages' absolute outlinks, 5 join-based
+    supersteps with dangling-mass redistribution.  Integer fixed-point
+    arithmetic (scale 1e12, damping 85/100) makes every superstep
+    bit-identical under any partitioning AND replayable in ANSI SQL —
+    the oracle unrolls the identical recurrence and compares the exact
+    BIGINT ranks."""
+    from semantic_entity_matching_spark.functions.htmlops import extract_links
+    from semantic_entity_matching_spark.functions.urlops import (
+        registered_domain,
+        url_host,
+    )
+    from semantic_entity_matching_spark.operators.graph import pagerank
+
+    pages = _docs_with_urls(spark, sf_dir).join(
+        _docs_with_html(spark, sf_dir).select("doc_id", "html"), "doc_id"
+    )
+    links = pages.select(
+        registered_domain(url_host("url")).alias("src"),
+        F.explode(extract_links("html")).alias("link"),
+    ).where(F.col("link").rlike(r"(?i)^https?://"))
+    edges = links.select(
+        "src", registered_domain(url_host("link")).alias("dst")
+    )
+    return pagerank(edges, iterations=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1945,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_host_sample": q71_host_sample,
         "q72_quality_model": q72_quality_model,
         "q73_blocklist_filter": q73_blocklist_filter,
+        "q74_domain_pagerank": q74_domain_pagerank,
     }
 
 
@@ -4141,6 +4171,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.host
         FROM dom d LEFT JOIN blocked b ON d.doc_id = b.doc_id
         WHERE b.doc_id IS NULL
+    """
+
+    # q74 — fixed-point PageRank: the oracle constructs the same edge set
+    # analytically (the synthetic outlink targets are pure doc_id
+    # formulas) and unrolls the identical integer recurrence; ranks
+    # compare as exact BIGINTs.  SUM(BIGINT) is HUGEINT in DuckDB — every
+    # iteration's r casts back to BIGINT.
+    _pr_scale = 10**12
+    _src_dom = (
+        "'site' || (doc_id % 10) || '.' || CASE doc_id % 3 "
+        "WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END"
+    )
+    _pr_iters = "".join(
+        f""", pr{i} AS (
+          SELECT nd.node,
+                 CAST((({_pr_scale} * 15) // 100) // c.n
+                      + 85 * (coalesce(f.inflow, 0) + dg.d // c.n) // 100
+                      AS BIGINT) AS r
+          FROM nodes nd
+          CROSS JOIN cnt c
+          CROSS JOIN (SELECT coalesce(SUM(p.r), 0) AS d
+                      FROM pr{i - 1} p LEFT JOIN outdeg o ON p.node = o.src
+                      WHERE o.src IS NULL) dg
+          LEFT JOIN (SELECT e.dst AS node, SUM(p.r // o.deg) AS inflow
+                     FROM edges e
+                     JOIN pr{i - 1} p ON e.src = p.node
+                     JOIN outdeg o ON o.src = e.src
+                     GROUP BY e.dst) f ON nd.node = f.node
+        )"""
+        for i in range(1, 6)
+    )
+    sql["q74_domain_pagerank"] = f"""
+        WITH e0 AS (
+          SELECT {_src_dom} AS src,
+                 'site' || ((doc_id * 7 + 3) % 10) || '.com' AS dst
+          FROM documents
+          UNION ALL
+          SELECT {_src_dom} AS src,
+                 'site' || ((doc_id * 5 + 1) % 10) || '.co.uk' AS dst
+          FROM documents WHERE doc_id % 3 = 0
+        ), edges AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+        ),
+        cnt AS (SELECT count(*) AS n FROM nodes),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        pr0 AS (
+          SELECT node,
+                 CAST(CAST({_pr_scale} AS BIGINT) // (SELECT n FROM cnt)
+                      AS BIGINT) AS r
+          FROM nodes
+        ){_pr_iters}
+        SELECT node, r AS rank_scaled,
+               round(CAST(r AS DOUBLE) / {float(_pr_scale)!r}, 9) AS rank
+        FROM pr5
     """
 
     return sql
