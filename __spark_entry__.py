@@ -1899,6 +1899,25 @@ def q74_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def q75_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (the static source-share sampling step of a
+    pretraining data recipe): 120 rows at lang shares en .5 / es .2 /
+    de .2 / fr .1 (largest-remainder quotas 60/24/24/12; zh and NULL are
+    unweighted and excluded), members chosen per stratum by the
+    deterministic md5(id) order — the oracle replays the identical
+    per-stratum ranked pick."""
+    from semantic_entity_matching_spark.operators.sample import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_corpus(
+        docs,
+        strata_col="lang",
+        weights={"en": 0.5, "es": 0.2, "de": 0.2, "fr": 0.1},
+        n_total=120,
+        id_col="doc_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1975,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_quality_model": q72_quality_model,
         "q73_blocklist_filter": q73_blocklist_filter,
         "q74_domain_pagerank": q74_domain_pagerank,
+        "q75_corpus_mix": q75_corpus_mix,
     }
 
 
@@ -4227,6 +4247,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, r AS rank_scaled,
                round(CAST(r AS DOUBLE) / {float(_pr_scale)!r}, 9) AS rank
         FROM pr5
+    """
+
+    # q75 — weighted mixing: quotas are driver-side constants (largest-
+    # remainder over the weights), the per-stratum pick is the md5 order
+    sql["q75_corpus_mix"] = """
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
+        )
+        SELECT doc_id, lang FROM ranked
+        WHERE rk <= CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 24
+                              WHEN 'de' THEN 24 ELSE 12 END
     """
 
     return sql

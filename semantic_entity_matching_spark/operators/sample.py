@@ -54,6 +54,68 @@ def deterministic_sample(
     return df.where(_hash_fraction(id_col) < F.lit(float(fraction)))
 
 
+def _stratum_key(strata_col: str):
+    """Internal non-null stratum key: a NULL stratum is a legitimate group
+    to the window but never matches an equi-join — tag it injectively
+    ("n:" sentinel vs "v:"-prefixed value; within one column type the
+    string cast is injective for standard types)."""
+    return F.when(F.col(strata_col).isNull(), F.lit("n:")).otherwise(
+        F.concat(F.lit("v:"), F.col(strata_col).cast("string"))
+    )
+
+
+def _first_per_stratum(
+    base: DataFrame, id_col: str, out_cols: list, oversample: float
+) -> DataFrame:
+    """Core of the quota samplers: ``base`` carries ``_sk`` (non-null
+    stratum key) and ``_quota`` (positive int, constant within a
+    stratum); returns the first ``_quota`` rows of each stratum in
+    md5(id) order, via the two-phase prefilter + exact-redo shape
+    documented on :func:`stratified_sample`."""
+    w = Window.partitionBy("_sk").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    sizes = base.groupBy("_sk").agg(
+        F.count(F.lit(1)).alias("_ssize"), F.first("_quota").alias("_q")
+    )
+    survivors = base.join(sizes.select("_sk", "_ssize"), "_sk").where(
+        _hash_fraction(id_col)
+        < F.least(
+            F.lit(1.0),
+            F.lit(float(oversample)) * F.col("_quota") / F.col("_ssize"),
+        )
+    )
+
+    # under-delivered strata: fewer survivors than min(quota, size) — the
+    # prefix property then no longer covers the full first-quota.
+    # Includes strata whose filter kept zero rows (absent from survivors).
+    surv_counts = survivors.groupBy("_sk").agg(
+        F.count(F.lit(1)).alias("_nsurv")
+    )
+    bad = (
+        sizes.join(surv_counts, "_sk", "left")
+        .withColumn("_nsurv", F.coalesce(F.col("_nsurv"), F.lit(0)))
+        .where(
+            (F.col("_nsurv") < F.col("_q"))
+            & (F.col("_nsurv") < F.col("_ssize"))
+        )
+        .select("_sk")
+    )
+
+    def first_q(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("_sample_rank", F.row_number().over(w))
+            .where(F.col("_sample_rank") <= F.col("_quota"))
+            .select(*out_cols)
+        )
+
+    ok_part = first_q(survivors.join(bad, "_sk", "left_anti"))
+    # exact fallback for the rare under-delivered strata: windows the
+    # FULL stratum, but only for strata the cheap path missed
+    redo_part = first_q(base.join(bad, "_sk", "semi"))
+    return ok_part.unionByName(redo_part)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -86,51 +148,64 @@ def stratified_sample(
         raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
     if oversample <= 0:
         raise ValueError(f"oversample must be positive, got {oversample}")
-    out_cols = df.columns
-    # internal non-null stratum key: a NULL stratum is a legitimate group
-    # to the window but never matches an equi-join — tag it injectively
-    # ("n:" sentinel vs "v:"-prefixed value; within one column type the
-    # string cast is injective for standard types)
-    sk = F.when(F.col(strata_col).isNull(), F.lit("n:")).otherwise(
-        F.concat(F.lit("v:"), F.col(strata_col).cast("string"))
+    base = df.withColumn("_sk", _stratum_key(strata_col)).withColumn(
+        "_quota", F.lit(int(n_per_stratum))
     )
-    base = df.withColumn("_sk", sk)
-    w = Window.partitionBy("_sk").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    return _first_per_stratum(base, id_col, df.columns, oversample)
 
-    sizes = base.groupBy("_sk").agg(F.count(F.lit(1)).alias("_ssize"))
-    thresh = F.least(
-        F.lit(1.0),
-        F.lit(float(oversample) * float(n_per_stratum)) / F.col("_ssize"),
-    )
-    survivors = base.join(sizes, "_sk").where(_hash_fraction(id_col) < thresh)
 
-    # under-delivered strata: fewer survivors than min(n, size) — the
-    # prefix property then no longer covers the full first-n.  Includes
-    # strata whose filter kept zero rows (absent from survivors).
-    surv_counts = survivors.groupBy("_sk").agg(
-        F.count(F.lit(1)).alias("_nsurv")
-    )
-    bad = (
-        sizes.join(surv_counts, "_sk", "left")
-        .withColumn("_nsurv", F.coalesce(F.col("_nsurv"), F.lit(0)))
-        .where(
-            (F.col("_nsurv") < F.lit(int(n_per_stratum)))
-            & (F.col("_nsurv") < F.col("_ssize"))
-        )
-        .select("_sk")
-    )
+def mix_corpus(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    n_total: int,
+    id_col: str,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Weighted corpus mixing: sample ~``n_total`` rows with per-stratum
+    quotas proportional to ``weights`` — the static source-mixing step of
+    a pretraining data pipeline (language/source shares à la the public
+    LLM data recipes; DoReMi-style LEARNED weights plug into the same
+    quota form).
 
-    def first_n(src: DataFrame) -> DataFrame:
-        return (
-            src.withColumn("_sample_rank", F.row_number().over(w))
-            .where(F.col("_sample_rank") <= n_per_stratum)
-            .select(*out_cols)
-        )
+    Quotas use largest-remainder apportionment (sum equals ``n_total``
+    exactly; remainder seats go to the largest fractional parts, ties by
+    stratum name — fully deterministic).  Strata missing from
+    ``weights`` (or weighted 0) are excluded; a stratum smaller than its
+    quota under-delivers (no reallocation — silent reallocation would
+    change other strata's membership when one stratum shrinks, breaking
+    the growth-stability guarantee).  A ``None`` key in ``weights``
+    targets the NULL stratum.
 
-    ok_part = first_n(survivors.join(bad, "_sk", "left_anti"))
-    # exact fallback for the rare under-delivered strata: windows the
-    # FULL stratum, but only for strata the cheap path missed
-    redo_part = first_n(base.join(bad, "_sk", "semi"))
-    return ok_part.unionByName(redo_part)
+    Same scale shape as :func:`stratified_sample`; the quota table is
+    ``len(weights)`` rows — driver-built and broadcast."""
+    if n_total <= 0:
+        raise ValueError(f"n_total must be positive, got {n_total}")
+    if oversample <= 0:
+        raise ValueError(f"oversample must be positive, got {oversample}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("at least one weight must be positive")
+    raw = {
+        k: n_total * float(w) / total_w for k, w in weights.items() if w > 0
+    }
+    quota = {k: int(v) for k, v in raw.items()}
+    remainder = n_total - sum(quota.values())
+    for k in sorted(raw, key=lambda k: (-(raw[k] - quota[k]), str(k)))[
+        :remainder
+    ]:
+        quota[k] += 1
+    rows = [
+        ("n:" if k is None else f"v:{k}", int(q))
+        for k, q in sorted(quota.items(), key=lambda kv: str(kv[0]))
+        if q > 0
+    ]
+    qdf = df.sparkSession.createDataFrame(rows, "_sk string, _quota int")
+    base = df.withColumn("_sk", _stratum_key(strata_col)).join(
+        F.broadcast(qdf), "_sk"
+    )
+    return _first_per_stratum(base, id_col, df.columns, oversample)

@@ -482,3 +482,46 @@ def test_semantic_dedup_cell_cap_and_audit(spark):
         for r in semantic_dedup(df, cents, cosine_threshold=0.95).collect()
     }
     assert sum(out_nocap[i]["keep"] for i in range(1, 7)) == 1
+
+
+def test_mix_corpus_quotas_and_stability(spark):
+    """Weighted mixing: largest-remainder quotas sum to n_total, unweighted
+    strata are excluded, a too-small stratum under-delivers without
+    disturbing the others (growth-stability), null-stratum weights work."""
+    from semantic_entity_matching_spark.operators.sample import mix_corpus
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(200 + i, "de") for i in range(50)]
+        + [(300 + i, "fr") for i in range(3)]     # smaller than its quota
+        + [(400 + i, "zh") for i in range(40)]    # unweighted -> excluded
+        + [(500 + i, None) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # raw quotas for n=31: en 15.5, de 9.3, fr 3.1, null 3.1 -> floors
+    # 15/9/3/3 = 30, remainder 1 -> largest fraction (en .5) gets it
+    out = mix_corpus(
+        df, "lang", {"en": 0.5, "de": 0.3, "fr": 0.1, None: 0.1},
+        n_total=31, id_col="doc_id",
+    )
+    by = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by == {"en": 16, "de": 9, "fr": 3, None: 3}
+    # growth-stability: shrinking fr must not change en/de/null membership
+    kept = {
+        r["doc_id"]
+        for r in out.where("lang IS NULL OR lang <> 'fr'").collect()
+    }
+    out2 = mix_corpus(
+        df.where("lang IS NULL OR lang <> 'fr'"), "lang",
+        {"en": 0.5, "de": 0.3, "fr": 0.1, None: 0.1}, n_total=31,
+        id_col="doc_id",
+    )
+    kept2 = {r["doc_id"] for r in out2.collect()}
+    assert kept == kept2
+    with pytest.raises(ValueError):
+        mix_corpus(df, "lang", {}, 10, "doc_id")
+    with pytest.raises(ValueError):
+        mix_corpus(df, "lang", {"en": -1.0}, 10, "doc_id")
