@@ -1918,6 +1918,66 @@ def q75_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (Papadakis et al., TKDE 2014): token blocking over
+    the documents corpus -> CBS-weighted block graph (weight = number of
+    shared token blocks, exact integer) -> weighted node pruning (an edge
+    survives iff weight >= the mean incident-edge weight of either
+    endpoint).  Every threshold is an exact-integer SUM / COUNT with one
+    double division — never avg(), whose accumulation order differs per
+    partitioning — so the surviving edge set replays exactly in the SQL
+    twin.  Blocks above the 50-doc cap (stopword tokens) are purged in
+    both engines (the paper's block-purging step)."""
+    from semantic_entity_matching_spark.operators.metablocking import meta_block
+    from semantic_entity_matching_spark.operators.pairs import PairGenConfig
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return meta_block(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        scheme="cbs",
+        prune="wnp",
+        config=PairGenConfig(
+            max_block_size=50, hot_block_threshold=20, n_salts=8
+        ),
+    )
+
+
+def q77_token_comparators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-insensitive rerank comparators on adjacent doc pairs
+    (160-char prefixes — the short canonical-text shape these comparators
+    target): token-sort ratio (sorted-token Levenshtein, pure JVM
+    codegen) + symmetric set-Monge-Elkan over Jaro-Winkler (per-cell
+    scores snapped to 1e-6 fixed point so the means are exact-integer
+    sums).  Oracle uses DuckDB's jaro_winkler_similarity, which matches
+    jaro_winkler_py bit-for-bit incl. the 0.7 boost threshold
+    (q24-verified)."""
+    from semantic_entity_matching_spark.functions.similarity import (
+        monge_elkan_set_scores,
+        norm_tokens,
+        token_sort_ratio_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 160)
+    a = docs.select(F.col("doc_id").alias("id_a"), prefix.alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), prefix.alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).where(
+        (F.size(norm_tokens("text_a")) > 0)
+        & (F.size(norm_tokens("text_b")) > 0)
+    )
+    tsr = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(token_sort_ratio_expr("text_a", "text_b"), 6).alias(
+            "token_sort_ratio"
+        ),
+    )
+    me = monge_elkan_set_scores(pairs)
+    return tsr.join(me, ["id_a", "id_b"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1995,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_blocklist_filter": q73_blocklist_filter,
         "q74_domain_pagerank": q74_domain_pagerank,
         "q75_corpus_mix": q75_corpus_mix,
+        "q76_meta_blocking": q76_meta_blocking,
+        "q77_token_comparators": q77_token_comparators,
     }
 
 
@@ -4263,6 +4325,114 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM ranked
         WHERE rk <= CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 24
                               WHEN 'de' THEN 24 ELSE 12 END
+    """
+
+    # q76: token blocking -> CBS block graph -> weighted node pruning,
+    # replayed quadratically per block.  Thresholds are exact-integer
+    # SUM/COUNT divisions (matching the Spark side; never avg()).
+    sql["q76_meta_blocking"] = """
+        WITH blocks AS (
+            SELECT doc_id, tok AS block_key
+            FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'))) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE length(tok) >= 2
+        ), kept AS (
+            SELECT block_key FROM blocks
+            GROUP BY block_key HAVING count(*) <= 50
+        ), edges AS (
+            SELECT b1.doc_id AS id_a, b2.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM blocks b1
+            JOIN kept USING (block_key)
+            JOIN blocks b2 USING (block_key)
+            WHERE b1.doc_id < b2.doc_id
+            GROUP BY 1, 2
+        ), thr AS (
+            SELECT node,
+                   CAST(sum(weight) AS DOUBLE) / count(*) AS node_thr
+            FROM (
+                SELECT id_a AS node, weight FROM edges
+                UNION ALL
+                SELECT id_b AS node, weight FROM edges
+            ) GROUP BY node
+        )
+        SELECT e.id_a, e.id_b, e.weight
+        FROM edges e
+        JOIN thr ta ON ta.node = e.id_a
+        JOIN thr tb ON tb.node = e.id_b
+        WHERE e.weight >= ta.node_thr OR e.weight >= tb.node_thr
+    """
+
+    # q77: token-sort ratio + symmetric set-Monge-Elkan over DuckDB's
+    # jaro_winkler_similarity (bit-identical to jaro_winkler_py with the
+    # 0.7 boost threshold).  The token grid is flattened via
+    # list_transform (unnest of two lists in one SELECT would zip, not
+    # cross).  Fixed-point 1e-6 BIGINT cells -> exact integer sums.
+    sql["q77_token_comparators"] = """
+        WITH pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   substr(coalesce(a.text, ''), 1, 160) AS sa,
+                   substr(coalesce(b.text, ''), 1, 160) AS sb
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 1
+        ), toks AS (
+            SELECT id_a, id_b,
+                   list_filter(list_distinct(regexp_split_to_array(
+                       lower(sa), '[^a-z0-9]+')), t -> t <> '') AS ta,
+                   list_filter(list_distinct(regexp_split_to_array(
+                       lower(sb), '[^a-z0-9]+')), t -> t <> '') AS tb,
+                   coalesce(array_to_string(list_sort(list_filter(
+                       regexp_split_to_array(lower(sa), '[^a-z0-9]+'),
+                       t -> t <> '')), ' '), '') AS ka,
+                   coalesce(array_to_string(list_sort(list_filter(
+                       regexp_split_to_array(lower(sb), '[^a-z0-9]+'),
+                       t -> t <> '')), ' '), '') AS kb
+            FROM pairs
+        ), valid AS (
+            SELECT * FROM toks WHERE len(ta) > 0 AND len(tb) > 0
+        ), tsr AS (
+            SELECT id_a, id_b,
+                   round(CASE WHEN greatest(length(ka), length(kb)) = 0
+                              THEN 1.0
+                              ELSE 1.0 - levenshtein(ka, kb) /
+                                   CAST(greatest(length(ka), length(kb))
+                                        AS DOUBLE)
+                         END, 6) AS token_sort_ratio
+            FROM valid
+        ), grid AS (
+            SELECT id_a, id_b, cell.x AS t_a, cell.y AS t_b,
+                   CAST(round(jaro_winkler_similarity(cell.x, cell.y)
+                              * 1000000) AS BIGINT) AS jw_micro
+            FROM (
+                SELECT id_a, id_b,
+                       unnest(flatten(list_transform(ta,
+                           x -> list_transform(tb,
+                               y -> {'x': x, 'y': y})))) AS cell
+                FROM valid
+            )
+        ), best_a AS (
+            SELECT id_a, id_b, t_a, max(jw_micro) AS mx
+            FROM grid GROUP BY id_a, id_b, t_a
+        ), best_b AS (
+            SELECT id_a, id_b, t_b, max(jw_micro) AS mx
+            FROM grid GROUP BY id_a, id_b, t_b
+        ), me_a AS (
+            SELECT id_a, id_b,
+                   CAST(sum(mx) AS DOUBLE) / (1000000.0 * count(*)) AS mea
+            FROM best_a GROUP BY id_a, id_b
+        ), me_b AS (
+            SELECT id_a, id_b,
+                   CAST(sum(mx) AS DOUBLE) / (1000000.0 * count(*)) AS meb
+            FROM best_b GROUP BY id_a, id_b
+        )
+        SELECT t.id_a, t.id_b, t.token_sort_ratio,
+               round((ma.mea + mb.meb) / 2, 6) AS monge_elkan
+        FROM tsr t
+        JOIN me_a ma USING (id_a, id_b)
+        JOIN me_b mb USING (id_a, id_b)
     """
 
     return sql

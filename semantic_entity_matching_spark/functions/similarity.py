@@ -179,6 +179,100 @@ def levenshtein_similarity_expr(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def norm_tokens(c: str | Column) -> Column:
+    """Lowercased alphanumeric tokens of a string, empties dropped (the
+    shared normalization of the token-based comparators below)."""
+    cc = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.split(F.lower(cc), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def token_sort_ratio_expr(a: str | Column, b: str | Column) -> Column:
+    """Token-sort ratio (the word-order-insensitive edit similarity
+    popularized by fuzzywuzzy/rapidfuzz, public method): normalize both
+    strings to sorted lowercase alphanumeric tokens joined by single
+    spaces, then normalized Levenshtein similarity of the two keys.
+    'acme corp ltd' vs 'ltd acme corp' scores 1.0 where raw Levenshtein
+    sees a rotation.  Pure JVM codegen (split/sort/join/levenshtein
+    built-ins) — zero Python, usable as a pre-filter ahead of the
+    per-pair Python Jaro-Winkler stage."""
+
+    def key(c: str | Column) -> Column:
+        return F.array_join(F.array_sort(norm_tokens(c)), " ")
+
+    return levenshtein_similarity_expr(key(a), key(b))
+
+
+def monge_elkan_set_scores(
+    pairs: DataFrame,
+    a_col: str = "text_a",
+    b_col: str = "text_b",
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    out_col: str = "monge_elkan",
+) -> DataFrame:
+    """Symmetric set-Monge-Elkan over Jaro-Winkler (Monge & Elkan 1996,
+    public method): for each DISTINCT token of one side take the best
+    Jaro-Winkler match on the other side, average, then average the two
+    directions.  The set variant (duplicates collapsed by
+    ``array_distinct``; the classic definition uses token bags) is
+    deliberate: it is order-independent, shrinks the token grid, and —
+    with per-cell scores snapped to 1e-6 fixed-point BIGINTs so every
+    aggregate is an exact integer sum — makes the score bit-identical
+    under any partitioning and replayable in ANSI SQL (q77 oracle).
+
+    Input: ``pairs(id_a, id_b, text_a, text_b)`` — already-blocked
+    candidate pairs (never the raw corpus).  Output: the id columns +
+    ``out_col`` (double, rounded to 6).
+
+    Scale shape: one explode to the per-pair distinct-token grid
+    (|ta|x|tb| rows per pair, bounded by token counts of the SHORT
+    canonical texts this comparator is meant for — names, titles,
+    addresses), ONE Arrow-batched Jaro-Winkler pass over the grid, then
+    two hash aggregates (per source-token max, per pair mean) per
+    direction.  No window, no sort, no per-row Python.
+    """
+    ia, ib = id_cols
+    grid = (
+        pairs.select(
+            ia,
+            ib,
+            F.explode(F.array_distinct(norm_tokens(a_col))).alias("_ta"),
+            F.array_distinct(norm_tokens(b_col)).alias("_tbs"),
+        )
+        .select(ia, ib, "_ta", F.explode("_tbs").alias("_tb"))
+        .select(
+            ia,
+            ib,
+            "_ta",
+            "_tb",
+            F.round(jaro_winkler_udf(F.col("_ta"), F.col("_tb")) * 1e6)
+            .cast("bigint")
+            .alias("_jw_micro"),
+        )
+    )
+
+    def direction(src: str) -> DataFrame:
+        best = grid.groupBy(ia, ib, src).agg(
+            F.max("_jw_micro").alias("_best")
+        )
+        return best.groupBy(ia, ib).agg(
+            (
+                F.sum("_best").cast("double")
+                / (F.lit(1e6) * F.count(F.lit(1)))
+            ).alias(f"_me{src}")
+        )
+    return (
+        direction("_ta")
+        .join(direction("_tb"), [ia, ib])
+        .select(
+            ia,
+            ib,
+            F.round((F.col("_me_ta") + F.col("_me_tb")) / 2, 6).alias(out_col),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # blended match score (the transparent replacement for Cohere rerank, F7)
 # ---------------------------------------------------------------------------

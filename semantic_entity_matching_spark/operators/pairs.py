@@ -97,6 +97,41 @@ def generate_candidate_pairs(
     aggregate (the dedup becomes a plain distinct, no string rides the
     exchange) for callers that only need the id pairs.
     """
+    pairs = block_pair_stream(
+        blocks,
+        id_col=id_col,
+        config=config,
+        annotations=annotations,
+        pair_filter=pair_filter,
+        sizes=sizes,
+    ).select("block_key", "id_a", "id_b")
+    if not keep_block_key:
+        return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    # min(block_key) — deterministic representative key for "same blocking
+    # key" evaluation (BASELINE.json north_rule)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+
+
+def block_pair_stream(
+    blocks: DataFrame,
+    id_col: str = "url",
+    config: PairGenConfig | None = None,
+    annotations: DataFrame | None = None,
+    pair_filter=None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """The PRE-dedup per-block pair stream: one row per (block_key, pair)
+    co-occurrence, capped and salted exactly as
+    :func:`generate_candidate_pairs` (which is this + the (id_a, id_b)
+    dedup).  Exposed for consumers whose aggregate over the stream is NOT
+    the dedup — meta-blocking's common-blocks edge weight is
+    ``groupBy(id_a, id_b).count()`` over these rows
+    (operators/metablocking.py).  Columns: ``block_key, id_a, id_b`` plus
+    any ``annotations`` columns suffixed ``_a``/``_b``.
+    """
     cfg = config or PairGenConfig()
 
     if sizes is None:
@@ -166,15 +201,7 @@ def generate_candidate_pairs(
     )
     if pair_filter is not None:
         pairs = pairs.where(pair_filter)
-    pairs = pairs.select("block_key", "id_a", "id_b")
-    if not keep_block_key:
-        return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
-    # min(block_key) — deterministic representative key for "same blocking
-    # key" evaluation (BASELINE.json north_rule)
-    return (
-        pairs.groupBy("id_a", "id_b")
-        .agg(F.min("block_key").alias("block_key"))
-    )
+    return pairs
 
 
 def dropped_blocks_audit(

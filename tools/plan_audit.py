@@ -448,6 +448,22 @@ def main() -> None:
         else "CartesianProduct leaked into the perplexity plan",
     )
 
+    # 17. meta-blocking (q76): the WNP per-node thresholds are hash
+    # aggregates + id-keyed joins — no Window (per-node neighbourhoods are
+    # unbounded at corpus scale, a window could not AQE-split) and no
+    # CartesianProduct; the only BroadcastExchange allowed would be AQE's
+    # own small-side choice, never a forced corpus-side build (the edge
+    # and threshold tables are corpus-cardinality).
+    e_mb = explained_of(E.q76_meta_blocking(spark, SF)).lower()
+    ok_mb = "window" not in e_mb and "cartesianproduct" not in e_mb
+    check(
+        "metablocking_no_window_no_cartesian",
+        ok_mb,
+        "WNP pruning = aggregates + id-keyed joins (no Window/Cartesian)"
+        if ok_mb
+        else "a Window or CartesianProduct leaked into the q76 plan",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
