@@ -1978,6 +1978,40 @@ def q77_token_comparators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsr.join(me, ["id_a", "id_b"])
 
 
+def q78_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup dedup (drop pages already present in an
+    earlier dump — the C4/RefinedWeb cross-snapshot step): the reference
+    corpus is a deterministic mutation of every doc_id % 7 == 0 page
+    (upper-cased + whitespace-padded — normalization-equal, so its MinHash
+    signature is identical and banding recall for the planted matches is
+    structural).  The A×B band-key join is capped/salted per side
+    (Zipf-head annotation); every candidate carries TRUE unigram Jaccard
+    and the 0.9 threshold applies to that, so the survivor set equals the
+    quadratic cross-Jaccard truth the oracle computes (within-corpus
+    recall 1 at 0.9 is the verified q21 property; cross pairs share the
+    same signatures).  Cap lifted at contract scale exactly as q21."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        cross_corpus_dedup,
+    )
+    from semantic_entity_matching_spark.operators.pairs import PairGenConfig
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("ref_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("   ")).alias(
+            "text"
+        ),
+    )
+    return cross_corpus_dedup(
+        docs,
+        ref,
+        jaccard_threshold=0.9,
+        pairgen=PairGenConfig(
+            max_block_size=1_000_000, hot_block_threshold=20
+        ),
+    ).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2057,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_corpus_mix": q75_corpus_mix,
         "q76_meta_blocking": q76_meta_blocking,
         "q77_token_comparators": q77_token_comparators,
+        "q78_cross_corpus_dedup": q78_cross_corpus_dedup,
     }
 
 
@@ -4433,6 +4468,42 @@ def oracle_sql() -> dict[str, str]:
         FROM tsr t
         JOIN me_a ma USING (id_a, id_b)
         JOIN me_b mb USING (id_a, id_b)
+    """
+
+    # q78: survivors of cross-corpus near-dup dedup, replayed as the
+    # quadratic cross-Jaccard truth (banding is candidate generation; the
+    # planted reference is normalization-equal so recall is structural).
+    # Token-empty docs emit no band keys in Spark and never match — the
+    # oracle's len(tok) > 0 guards mirror that (q21 convention).
+    sql["q78_cross_corpus_dedup"] = """
+        WITH ref AS (
+            SELECT doc_id AS ref_id,
+                   '  ' || upper(text) || '   ' AS text
+            FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        ), ctoks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
+        ), rtoks AS (
+            SELECT ref_id, tok FROM (
+                SELECT ref_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM ref
+            ) WHERE len(tok) > 0
+        ), matched AS (
+            SELECT DISTINCT c.doc_id
+            FROM ctoks c, rtoks r
+            WHERE len(list_intersect(c.tok, r.tok))::DOUBLE
+                  / len(list_distinct(list_concat(c.tok, r.tok))) >= 0.9
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM matched)
     """
 
     return sql

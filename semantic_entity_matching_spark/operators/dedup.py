@@ -155,6 +155,208 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# cross-corpus near-dup (dedup a new crawl against earlier dumps)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_near_duplicates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    corpus_id: str = "doc_id",
+    ref_id: str = "ref_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    lsh: LSHConfig | None = None,
+    jaccard_threshold: float = 0.7,
+    pairgen: PairGenConfig | None = None,
+) -> DataFrame:
+    """Near-duplicate matches BETWEEN two corpora -> (corpus_id, ref_id,
+    jaccard >= threshold).
+
+    The cross-dump dedup step every crawl pipeline runs (C4/RefinedWeb
+    drop pages already seen in earlier snapshots; the reference repo's
+    analog is re-ingest suppression via idempotent create-ops,
+    lib/ingest.py:63,90-94 — here the match is NEAR-dup, not just exact).
+    Candidates come from the SAME MinHash band keys as within-corpus
+    near-dup (one keying pass per side), joined A×B on the band key —
+    never a self-join, so candidate volume is |A_k|·|B_k| per key.
+
+    Skew/cap discipline (same Zipf-head pattern as
+    ``pairs.block_pair_stream``): per-key sizes are computed per SIDE;
+    only keys over the threshold on EITHER side ride a (full-outer,
+    broadcast-hinted) head table — a key is dropped when either side
+    exceeds ``max_block_size`` (boilerplate bands), salted ``n_salts``
+    ways when either side exceeds ``hot_block_threshold``.  Cold keys
+    (absent from the head) never ride any annotation join.  The exact
+    size-ratio bound prunes candidates AT the block join, before the
+    (corpus_id, ref_id) dedup exchange.
+
+    Verification attaches TRUE unigram Jaccard (hashed-token
+    ``array_intersect``, all JVM-side) exactly as
+    :func:`ngram_jaccard_verify`; banding is candidate generation only,
+    so at recall-1 thresholds the output is the exact cross-corpus
+    near-dup set.
+    """
+    lsh = lsh or LSHConfig()
+    cfg = pairgen or PairGenConfig()
+    rtext = ref_text_col or text_col
+
+    cb = minhash_block_keys(
+        corpus, id_col=corpus_id, text_col=text_col, config=lsh
+    ).select(F.col(corpus_id).alias("_ida"), "block_key")
+    rb = minhash_block_keys(
+        reference, id_col=ref_id, text_col=rtext, config=lsh
+    ).select(F.col(ref_id).alias("_idb"), "block_key")
+
+    annot_threshold = min(cfg.hot_block_threshold, cfg.max_block_size)
+    c_head = (
+        cb.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .where(F.col("_cn") > annot_threshold)
+    )
+    r_head = (
+        rb.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("_rn"))
+        .where(F.col("_rn") > annot_threshold)
+    )
+    # keys needing annotation = the union of the two Zipf heads (bounded
+    # by side_rows/threshold each); everything else is cold on BOTH sides
+    head = c_head.join(r_head, "block_key", "full").select(
+        "block_key",
+        F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+        F.coalesce(F.col("_rn"), F.lit(0)).alias("_rn"),
+    )
+    if cfg.broadcast_hot_sizes:
+        head = F.broadcast(head)
+
+    def annotate(side: DataFrame) -> DataFrame:
+        return (
+            side.join(head, "block_key", "left")
+            .where(
+                F.col("_cn").isNull()
+                | (
+                    (F.col("_cn") <= cfg.max_block_size)
+                    & (F.col("_rn") <= cfg.max_block_size)
+                )
+            )
+            .withColumn(
+                "_nsalts",
+                F.when(
+                    F.greatest(F.col("_cn"), F.col("_rn"))
+                    > cfg.hot_block_threshold,
+                    F.lit(cfg.n_salts),
+                ).otherwise(F.lit(1)),
+            )
+            .drop("_cn", "_rn")
+        )
+
+    # ratio-bound counts ride the block join as annotations (id-keyed
+    # hash joins, corpus-side tables never force-broadcast)
+    ca = corpus.select(
+        F.col(corpus_id).alias("_ida"),
+        F.size(_distinct_tokens(text_col)).alias("_ntok_a"),
+    )
+    rcounts = reference.select(
+        F.col(ref_id).alias("_idb"),
+        F.size(_distinct_tokens(rtext)).alias("_ntok_b"),
+    )
+    left = (
+        annotate(cb)
+        .join(ca, "_ida")
+        .select(
+            "block_key",
+            "_ida",
+            F.pmod(F.xxhash64(F.col("_ida")), F.col("_nsalts"))
+            .cast("int")
+            .alias("_salt"),
+            "_ntok_a",
+        )
+    )
+    right = (
+        annotate(rb)
+        .join(rcounts, "_idb")
+        .select(
+            "block_key",
+            "_idb",
+            F.explode(F.sequence(F.lit(0), F.col("_nsalts") - 1)).alias(
+                "_salt"
+            ),
+            "_ntok_b",
+        )
+    )
+    cand = left.join(right, ["block_key", "_salt"])
+    if jaccard_threshold > 0.0:
+        cand = cand.where(
+            _size_ratio_keep(
+                F.col("_ntok_a"), F.col("_ntok_b"), jaccard_threshold
+            )
+        )
+    cand = cand.select("_ida", "_idb").dropDuplicates(["_ida", "_idb"])
+
+    # two-frame unigram verify: same hashed-token JVM set algebra and
+    # null/empty semantics as ngram_jaccard_verify(n=1)
+    def toks(df: DataFrame, idc: str, tc: str, alias: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(alias),
+            F.transform(_distinct_tokens(tc), lambda x: F.xxhash64(x)).alias(
+                f"_t{alias}"
+            ),
+            F.size(_distinct_tokens(tc)).alias(f"_n{alias}"),
+        )
+
+    ta = toks(corpus, corpus_id, text_col, "_ida")
+    tb = toks(reference, ref_id, rtext, "_idb")
+    inter = F.size(F.array_intersect(F.col("_t_ida"), F.col("_t_idb")))
+    union = F.col("_n_ida") + F.col("_n_idb") - inter
+    jac = (
+        F.when(F.col("_t_ida").isNull() | F.col("_t_idb").isNull(), F.lit(0.0))
+        .when((F.col("_n_ida") == 0) & (F.col("_n_idb") == 0), F.lit(1.0))
+        .when((F.col("_n_ida") == 0) | (F.col("_n_idb") == 0), F.lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double"))
+    )
+    return (
+        cand.join(ta, "_ida")
+        .join(tb, "_idb")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("_ida").alias(corpus_id),
+            F.col("_idb").alias(ref_id),
+            "jaccard",
+        )
+    )
+
+
+def cross_corpus_dedup(
+    corpus: DataFrame,
+    reference: DataFrame,
+    corpus_id: str = "doc_id",
+    ref_id: str = "ref_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    lsh: LSHConfig | None = None,
+    jaccard_threshold: float = 0.7,
+    pairgen: PairGenConfig | None = None,
+) -> DataFrame:
+    """Corpus rows that are NOT near-duplicates of any reference row
+    (schema = the corpus schema, untouched).  Matches -> one distinct id
+    projection -> LEFT ANTI join; null/blank corpus rows emit no band
+    keys, match nothing, and survive."""
+    matches = cross_corpus_near_duplicates(
+        corpus,
+        reference,
+        corpus_id=corpus_id,
+        ref_id=ref_id,
+        text_col=text_col,
+        ref_text_col=ref_text_col,
+        lsh=lsh,
+        jaccard_threshold=jaccard_threshold,
+        pairgen=pairgen,
+    )
+    matched_ids = matches.select(F.col(corpus_id)).distinct()
+    return corpus.join(matched_ids, corpus_id, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
