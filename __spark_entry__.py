@@ -2012,6 +2012,37 @@ def q78_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q79_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (ANCE,
+    Xiong et al. 2021): per anchor (vec_id < 20), the top-5 most-similar
+    vectors that do NOT share its label (same-label pairs are the
+    positives and are anti-joined out BEFORE scoring).  Exact brute-force
+    retrieval, rounded-score + id tiebreak ranking — the oracle replays
+    positives-exclusion, cosine and ranking in SQL."""
+    from semantic_entity_matching_spark.operators.ann import (
+        mine_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    positives = (
+        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_l"))
+        .join(
+            emb.select(F.col("vec_id").alias("candidate_id"), F.col("label").alias("_l")),
+            "_l",
+        )
+        .select("query_id", "candidate_id")
+    )
+    return mine_hard_negatives(
+        emb,
+        positives,
+        k=5,
+        id_col="vec_id",
+        query_filter=F.col("vec_id") < 20,
+        score_round=6,
+        symmetric=False,  # the label join is already symmetric
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2092,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_meta_blocking": q76_meta_blocking,
         "q77_token_comparators": q77_token_comparators,
         "q78_cross_corpus_dedup": q78_cross_corpus_dedup,
+        "q79_hard_negatives": q79_hard_negatives,
     }
 
 
@@ -4504,6 +4536,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+    """
+
+    # q79: hard negatives = top-5 cosine neighbours with a DIFFERENT
+    # label (same-label positives and self excluded before scoring),
+    # ranked on the rounded score with id tiebreak (q17 conventions).
+    sql["q79_hard_negatives"] = """
+        WITH q AS (
+            SELECT vec_id AS qid, label AS ql,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL
+        ), c AS (
+            SELECT vec_id AS cid, label AS cl,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), s AS (
+            SELECT qid, cid,
+                   round(list_cosine_similarity(qv, cv), 6) AS score
+            FROM q, c
+            WHERE qid <> cid
+              AND (ql IS NULL OR cl IS NULL OR ql <> cl)
+        ), ranked AS (
+            SELECT qid AS query_id, cid AS candidate_id, score,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, cid ASC) AS rank
+            FROM s
+        )
+        SELECT query_id, candidate_id, score, rank
+        FROM ranked WHERE rank <= 5
     """
 
     return sql

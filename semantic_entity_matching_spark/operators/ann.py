@@ -74,6 +74,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     score_round: int | None = None,
+    exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k.  The query side is broadcast (queries are the
     small side by construction); the corpus never shuffles.
@@ -81,6 +82,13 @@ def brute_force_topk(
     ``score_round``: round the cosine BEFORE ranking so near-ties (< 1 ulp
     apart) become exact ties broken by candidate_id — makes the top-k set
     reproducible across engines/partitionings (SURVEY §7.3 hard part (c)).
+
+    ``exclude_pairs`` — a ``(query_id, candidate_id)`` table anti-joined
+    off the candidate stream BEFORE scoring (so excluded rows never pay a
+    cosine and can never displace a result): the hook hard-negative
+    mining uses to remove known positives.  Joined as an ordinary hash
+    anti-join — the pair table may be corpus-scale (one positive per
+    record), never force-broadcast.
     """
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -91,6 +99,17 @@ def brute_force_topk(
     joined = c.join(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("candidate_id"))
+    if exclude_pairs is not None:
+        missing = {"query_id", "candidate_id"} - set(exclude_pairs.columns)
+        if missing:
+            raise ValueError(
+                f"exclude_pairs needs columns query_id/candidate_id, missing {sorted(missing)}"
+            )
+        joined = joined.join(
+            exclude_pairs.select("query_id", "candidate_id"),
+            ["query_id", "candidate_id"],
+            "left_anti",
+        )
     scored = joined.withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
     # a null embedding on either side cannot be scored: drop the row rather
     # than rank it (engines disagree on NULL ordering in DESC windows)
@@ -405,3 +424,61 @@ def ivf_topk(
     # a hot probed cell makes the candidate set unbounded: salted
     # two-phase top-k, never one window task per query
     return ranked_topk(scored, k)
+
+
+def mine_hard_negatives(
+    records: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    score_round: int | None = None,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-cosine-similar records that are NOT known positives
+    -> (query_id, candidate_id, score, rank).
+
+    The training-data generation step of every embedding fine-tune (the
+    reference's model domain — its Titan/Cohere embed-and-rerank serving
+    path presumes such a trained model): in-batch random negatives are
+    easy, so the encoder learns most from the nearest NON-matching
+    neighbours (Xiong et al. 2021, ANCE — public method).
+
+    ``positives(query_id, candidate_id)`` are the gold/weak match edges;
+    with ``symmetric=True`` (unordered ER labels) the reversed pairs are
+    excluded too (one unionByName of two projections — no extra scan of
+    the corpus side).  Exclusion is a hash anti-join applied BEFORE
+    scoring (excluded pairs never pay a cosine and never displace a
+    result), self-pairs are always excluded.
+
+    Retrieval here is the exact brute-force baseline; at corpus scale
+    mine per-shard with ``lsh_topk``/``ivf_topk`` candidates and apply the
+    same exclusion — the anti-join composes with any candidate stream.
+    ``query_filter`` (a Column over ``records``) restricts the anchor
+    side, e.g. to the labeled subset.
+    """
+    queries = records if query_filter is None else records.where(query_filter)
+    excl = positives.select(
+        F.col(positives.columns[0]).alias("query_id"),
+        F.col(positives.columns[1]).alias("candidate_id"),
+    )
+    if symmetric:
+        excl = excl.unionByName(
+            excl.select(
+                F.col("candidate_id").alias("query_id"),
+                F.col("query_id").alias("candidate_id"),
+            )
+        )
+    return brute_force_topk(
+        queries,
+        records,
+        k=k,
+        query_id=id_col,
+        corpus_id=id_col,
+        vec_col=vec_col,
+        exclude_self=True,
+        score_round=score_round,
+        exclude_pairs=excl,
+    )

@@ -129,3 +129,63 @@ def test_distinct_id_column_names(spark):
         pairgen=_CFG,
     ).collect()
     assert [(r.url, r.page, r.jaccard) for r in m] == [(1, 9, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (operators/ann.py mine_hard_negatives)
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_hard_negatives_exclude_positives_and_self(spark):
+    from semantic_entity_matching_spark.operators.ann import mine_hard_negatives
+
+    # anchor 1; 2 is its positive (identical vector — would rank first);
+    # 3 is the hardest legitimate negative; 4 is farther.
+    rows = [
+        (1, [1.0, 0.0, 0.0], 7),
+        (2, [1.0, 0.0, 0.0], 7),
+        (3, [0.9, 0.1, 0.0], 8),
+        (4, [0.0, 1.0, 0.0], 8),
+    ]
+    emb = _vecs(spark, rows)
+    positives = spark.createDataFrame([(1, 2)], "query_id bigint, candidate_id bigint")
+    out = mine_hard_negatives(
+        emb, positives, k=2, query_filter=emb.vec_id == 1, score_round=6
+    ).collect()
+    assert [(r.candidate_id, r.rank) for r in out] == [(3, 1), (4, 2)]
+
+
+def test_hard_negatives_symmetric_reversal(spark):
+    from semantic_entity_matching_spark.operators.ann import mine_hard_negatives
+
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.5, 0.5], 1)]
+    emb = _vecs(spark, rows)
+    # positive stored REVERSED relative to the anchor
+    positives = spark.createDataFrame([(2, 1)], "query_id bigint, candidate_id bigint")
+    sym = mine_hard_negatives(
+        emb, positives, k=3, query_filter=emb.vec_id == 1, symmetric=True
+    ).collect()
+    assert [r.candidate_id for r in sym] == [3]
+    asym = mine_hard_negatives(
+        emb, positives, k=3, query_filter=emb.vec_id == 1, symmetric=False
+    ).collect()
+    assert [r.candidate_id for r in asym] == [2, 3]
+
+
+def test_exclude_pairs_validates_columns(spark):
+    import pytest as _pytest
+
+    from semantic_entity_matching_spark.operators.ann import brute_force_topk
+
+    emb = _vecs(spark, [(1, [1.0], 0)])
+    bad = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    with _pytest.raises(ValueError, match="query_id"):
+        brute_force_topk(
+            emb, emb, k=1, query_id="vec_id", corpus_id="vec_id",
+            exclude_pairs=bad,
+        ).collect()
