@@ -2043,6 +2043,20 @@ def q79_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Jelinek-Mercer interpolated self-perplexity (one LM order up
+    from q40): p(w|prev) = 0.7*MLE bigram + 0.3*smoothed unigram; each
+    doc's first token scores unigram-only.  The oracle replays the whole
+    recurrence — per-doc bigram tf, corpus bigram/history counts, the
+    interpolation, the first-token term — in SQL."""
+    from semantic_entity_matching_spark.functions.textops import (
+        bigram_ppl_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_ppl_scores(docs, id_col="doc_id", text_col="text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2124,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_token_comparators": q77_token_comparators,
         "q78_cross_corpus_dedup": q78_cross_corpus_dedup,
         "q79_hard_negatives": q79_hard_negatives,
+        "q80_bigram_ppl": q80_bigram_ppl,
     }
 
 
@@ -4564,6 +4579,78 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, candidate_id, score, rank
         FROM ranked WHERE rank <= 5
+    """
+
+    # q80: bigram JM-interpolated self-perplexity.  list_zip structs are
+    # unnamed in DuckDB — numeric index z[1]/z[2]; slicing is 1-based
+    # INCLUSIVE so t[1:len-1] zip t[2:len] is the bigram stream.
+    sql["q80_bigram_ppl"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents WHERE text IS NOT NULL
+        ), ne AS (
+          SELECT * FROM toks WHERE len(t) > 0
+        ), bi AS (
+          SELECT doc_id, z[1] AS prev, z[2] AS tok
+          FROM (
+            SELECT doc_id,
+                   unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+            FROM ne WHERE len(t) >= 2
+          )
+        ), tf2 AS (
+          SELECT doc_id, prev, tok, CAST(count(*) AS BIGINT) AS tf2
+          FROM bi GROUP BY 1, 2, 3
+        ), c2 AS (
+          SELECT prev, tok, CAST(sum(tf2) AS BIGINT) AS c2
+          FROM tf2 GROUP BY prev, tok
+        ), c1 AS (
+          SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev
+        ), pbi AS (
+          SELECT c2.prev, c2.tok,
+                 CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS pbi
+          FROM c2 JOIN c1 USING (prev)
+        ), ucnt AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(t) AS tok FROM ne) GROUP BY tok
+        ), tot AS (
+          SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM ucnt
+        ), puni AS (
+          SELECT tok,
+                 (CAST(cnt AS DOUBLE) + 0.5::DOUBLE)
+                 / (n + 0.5::DOUBLE * (v + 1.0::DOUBLE)) AS puni
+          FROM ucnt CROSS JOIN tot
+        ), bi_bits AS (
+          SELECT tf2.doc_id,
+                 -- (1.0 - 0.7) NOT the literal 0.3: Spark evaluates the
+                 -- same runtime subtraction (= 0.30000000000000004)
+                 sum(-log2(0.7::DOUBLE * pbi.pbi
+                           + (1.0::DOUBLE - 0.7::DOUBLE) * puni.puni)
+                     * CAST(tf2.tf2 AS DOUBLE)) AS bib
+          FROM tf2
+          JOIN pbi ON pbi.prev = tf2.prev AND pbi.tok = tf2.tok
+          JOIN puni ON puni.tok = tf2.tok
+          GROUP BY tf2.doc_id
+        ), firsts AS (
+          SELECT ne.doc_id, -log2(puni.puni) AS fb
+          FROM ne JOIN puni ON puni.tok = ne.t[1]
+        ), scored AS (
+          SELECT ne.doc_id,
+                 CAST(len(ne.t) AS BIGINT) AS n_tokens,
+                 (f.fb + coalesce(b.bib, 0.0::DOUBLE))
+                 / CAST(len(ne.t) AS DOUBLE) AS bits
+          FROM ne
+          JOIN firsts f USING (doc_id)
+          LEFT JOIN bi_bits b ON b.doc_id = ne.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               round(s.bits, 6) AS bits_per_token,
+               round(power(2.0::DOUBLE, s.bits), 6) AS ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
     """
 
     return sql

@@ -885,6 +885,131 @@ def unigram_ppl_scores(
     return out
 
 
+def bigram_ppl_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    round_to: int | None = 6,
+):
+    """Per-document bigram-interpolated self-perplexity →
+    ``(id, n_tokens, bits_per_token, ppl)``.
+
+    Jelinek-Mercer interpolation (public method; the KenLM/CCNet filter
+    family one order up from :func:`unigram_ppl_scores`):
+    ``p(w|prev) = lam * p_bi(w|prev) + (1-lam) * p_uni(w)`` with MLE
+    ``p_bi = c(prev,w) / c(prev·)`` (0 for unseen bigrams — the unigram
+    term keeps every probability positive) and the same
+    additive-smoothed ``p_uni`` as the unigram LM.  Each document's
+    FIRST token has no history and scores ``p_uni`` alone.  Repetitive
+    boilerplate gets dramatically lower bigram perplexity than bag-level
+    stats suggest (word order is the signal unigrams cannot see).
+
+    Scale shape: tokenize ONCE; per-doc (prev, tok) bigram counts
+    pre-aggregate map-side before anything joins; corpus bigram/history
+    counts are two hash aggregates over that same pre-aggregate (no
+    second scan); probability attachment is two narrow hash joins keyed
+    by (prev, tok) and tok — vocabulary-cardinality tables, plain hash
+    joins (AQE splits hot stopword-pair keys), never broadcast; the two
+    scalar totals ride a one-row broadcast.  No windows, no Python.
+
+    Self-LM only by design: the external-LM variant needs an unseen-
+    history convention the caller should pick explicitly (use the
+    unigram operator's ``lm`` parameter for the cross-corpus case).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), whitespace_tokens(text_col).alias("_t"))
+        .where(F.size("_t") > 0)
+    )
+    # (doc, prev, tok) bigram pre-aggregate — the one wide explode
+    bi_tf = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 2, size(_t) - 1),"
+                    " (x, i) -> struct(element_at(_t, i + 1) AS prev,"
+                    " x AS tok))"
+                )
+            ).alias("_z"),
+        )
+        .select(id_col, F.col("_z.prev").alias("prev"), F.col("_z.tok").alias("tok"))
+        .groupBy(id_col, "prev", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf2"))
+    )
+    # corpus counts derived from the SAME pre-aggregate (shared exchange)
+    c2 = bi_tf.groupBy("prev", "tok").agg(F.sum("tf2").cast("bigint").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
+    p_bi = c2.join(c1, "prev").select(
+        "prev",
+        "tok",
+        (F.col("c2").cast("double") / F.col("c1").cast("double")).alias("_pbi"),
+    )
+    # smoothed unigram probabilities over ALL token occurrences
+    ucnt = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = ucnt.agg(
+        F.sum("cnt").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    p_uni = ucnt.crossJoin(broadcast(totals)).select(
+        "tok",
+        (
+            (F.col("cnt").cast("double") + F.lit(float(alpha)))
+            / (F.col("_n") + F.lit(float(alpha)) * (F.col("_v") + F.lit(1.0)))
+        ).alias("_puni"),
+    )
+    lam_c = F.lit(float(lam))
+    bi_bits = (
+        bi_tf.join(p_bi, ["prev", "tok"])
+        .join(p_uni, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                -F.log2(lam_c * F.col("_pbi") + (F.lit(1.0) - lam_c) * F.col("_puni"))
+                * F.col("tf2")
+            ).alias("_bi_bits")
+        )
+    )
+    firsts = (
+        toks.select(F.col(id_col), F.element_at("_t", 1).alias("tok"))
+        .join(p_uni, "tok")
+        .select(id_col, (-F.log2(F.col("_puni"))).alias("_first_bits"))
+    )
+    scored = (
+        toks.select(F.col(id_col), F.size("_t").cast("bigint").alias("n_tokens"))
+        .join(firsts, id_col)
+        .join(bi_bits, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                (F.col("_first_bits") + F.coalesce(F.col("_bi_bits"), F.lit(0.0)))
+                / F.col("n_tokens").cast("double")
+            ).alias("bits_per_token"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("ppl", F.pow(F.lit(2.0), F.col("bits_per_token")))
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "bits_per_token", F.round("bits_per_token", round_to)
+        ).withColumn("ppl", F.round("ppl", round_to))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fastText-style hashed linear quality classifier
 # ---------------------------------------------------------------------------

@@ -276,3 +276,70 @@ def test_hashed_linear_score_model_shape(spark):
 
     with pytest.raises(ValueError):
         hashed_linear_score("text", weights=[])
+
+
+def test_bigram_ppl_hand_computed(spark):
+    import math
+
+    from semantic_entity_matching_spark.functions.textops import (
+        bigram_ppl_scores,
+    )
+
+    # corpus: "a b a b" + "a b" + singleton "c" + empty + null
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "   "), (5, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in bigram_ppl_scores(docs).collect()}
+
+    # unigram counts: a=3, b=3, c=1 -> N=7, V=3, alpha=.5
+    def puni(c):
+        return (c + 0.5) / (7.0 + 0.5 * 4.0)
+
+    # bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (a,b)x1 -> c2(a,b)=3, c2(b,a)=1
+    # histories: c1(a)=3, c1(b)=1
+    lam = 0.7
+    p_ab = lam * (3 / 3) + (1.0 - lam) * puni(3)
+    p_ba = lam * (1 / 1) + (1.0 - lam) * puni(3)
+    bits1 = (
+        -math.log2(puni(3))                      # first token 'a'
+        - 2 * math.log2(p_ab) - math.log2(p_ba)  # a>b, b>a, a>b
+    ) / 4.0
+    assert out[1]["bits_per_token"] == round(bits1, 6)
+    assert out[1]["ppl"] == round(2.0 ** bits1, 6)
+    # singleton doc: unigram-only first token over n=1
+    bits3 = -math.log2(puni(1))
+    assert out[3]["bits_per_token"] == round(bits3, 6)
+    assert out[3]["n_tokens"] == 1
+    # blank + null docs: kept with n_tokens 0, null scores
+    for d in (4, 5):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["bits_per_token"] is None and out[d]["ppl"] is None
+    # word order is the signal: same bag, scrambled order -> higher bits
+    docs2 = spark.createDataFrame(
+        [(1, "x y x y x y x y"), (2, "y y x x y x x y")],
+        "doc_id bigint, text string",
+    )
+    o2 = {r.doc_id: r.bits_per_token for r in bigram_ppl_scores(docs2).collect()}
+    assert o2[1] < o2[2]
+
+
+def test_bigram_ppl_partition_invariant(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        bigram_ppl_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3} shared word")
+         for i in range(1, 31)],
+        "doc_id bigint, text string",
+    )
+    base = sorted(
+        (r.doc_id, r.n_tokens, r.bits_per_token)
+        for r in bigram_ppl_scores(docs).collect()
+    )
+    again = sorted(
+        (r.doc_id, r.n_tokens, r.bits_per_token)
+        for r in bigram_ppl_scores(docs.repartition(7)).collect()
+    )
+    assert again == base
