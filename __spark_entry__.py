@@ -2057,6 +2057,35 @@ def q80_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_ppl_scores(docs, id_col="doc_id", text_col="text")
 
 
+def q81_entity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity centroid embeddings (the vector-field golden record):
+    element-wise member mean, rounded then L2-normalized then rounded —
+    the exact order the SQL twin replays.  Cluster assignment here is the
+    embeddings' label column (gold classes); the operator is agnostic to
+    where clusters came from.  Output exploded to (component, n_members,
+    pos, value) rows for the value-hash compare."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        entity_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    members = emb.select("vec_id", F.col("label").alias("component"))
+    cent = entity_centroids(
+        members,
+        emb,
+        id_col="vec_id",
+        cluster_col="component",
+        vec_col="embedding",
+        normalize=True,
+        round_to=6,
+    )
+    return cent.select(
+        "component",
+        "n_members",
+        F.posexplode("centroid").alias("pos", "value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2139,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_cross_corpus_dedup": q78_cross_corpus_dedup,
         "q79_hard_negatives": q79_hard_negatives,
         "q80_bigram_ppl": q80_bigram_ppl,
+        "q81_entity_centroids": q81_entity_centroids,
     }
 
 
@@ -4651,6 +4681,34 @@ def oracle_sql() -> dict[str, str]:
                round(s.bits, 6) AS bits_per_token,
                round(power(2.0::DOUBLE, s.bits), 6) AS ppl
         FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # q81: entity centroids — per-(component, pos) mean rounded, then the
+    # norm from those ROUNDED means (positional sum; dim-bounded), then
+    # normalize and round again: the exact Spark operator order.
+    # generate_subscripts zips with unnest; -1 matches posexplode's
+    # 0-based positions.
+    sql["q81_entity_centroids"] = """
+        WITH pos AS (
+            SELECT label AS component,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), m AS (
+            SELECT component, pos,
+                   round(sum(v) / count(*), 6) AS mr,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM pos GROUP BY component, pos
+        ), nrm AS (
+            SELECT component, sqrt(sum(mr * mr)) AS nv
+            FROM m GROUP BY component
+        )
+        SELECT m.component,
+               m.c AS n_members,
+               CAST(m.pos AS INT) AS pos,
+               CASE WHEN nrm.nv > 0 THEN round(m.mr / nrm.nv, 6)
+                    ELSE m.mr END AS value
+        FROM m JOIN nrm USING (component)
     """
 
     return sql

@@ -149,6 +149,83 @@ def golden_record(
     )
 
 
+def entity_centroids(
+    members: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-entity centroid embedding — the vector-field half of golden-
+    record survivorship -> ``(cluster, n_members, centroid)``.
+
+    ``golden_record`` consolidates scalar fields; an entity's EMBEDDING
+    consolidates as the (optionally L2-normalized) element-wise mean of
+    its members' vectors — the standard entity representation for
+    entity-level ANN search and SemDeDup-style cross-entity near-dup.
+    Null-vector members are excluded; clusters with no scorable member
+    are absent.
+
+    Determinism: per-position means are ``sum/count`` rounded to
+    ``round_to`` BEFORE normalization, the norm is computed from those
+    rounded means positionally, and the final values round again — so
+    the output replays in ANSI SQL (q81 twin) and is partition-stable to
+    the rounding precision (double sums associate differently per
+    partitioning; rounding is the established q40 convention).
+
+    Scale shape: one posexplode to (cluster, pos, value) — dim × members
+    narrow rows — into ONE hash aggregate keyed (cluster, pos) with
+    map-side combine, then a dim-bounded ``collect_list`` reassembly per
+    cluster (the list is |dim| elements regardless of cluster size — a
+    mega-entity costs the same as a pair).  No window, no Python, no
+    driver state.
+    """
+    joined = members.select(
+        F.col(id_col), F.col(cluster_col).alias("_cl")
+    ).join(
+        embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.col(vec_col).alias("_v")
+        ),
+        id_col,
+    )
+    pos = joined.select(
+        "_cl", F.posexplode("_v").alias("_pos", "_val")
+    )
+    mean_col = F.sum(F.col("_val").cast("double")) / F.count(F.lit(1))
+    if round_to is not None:
+        mean_col = F.round(mean_col, round_to)
+    means = pos.groupBy("_cl", "_pos").agg(
+        mean_col.alias("_m"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    cent = means.groupBy("_cl").agg(
+        F.max("_c").alias("n_members"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+            lambda s: s["_m"],
+        ).alias("centroid"),
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("centroid"),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        )
+        scaled = F.when(norm > 0, F.transform(F.col("centroid"), lambda v: v / norm)).otherwise(
+            F.col("centroid")
+        )
+        if round_to is not None:
+            scaled = F.transform(scaled, lambda v: F.round(v, round_to))
+        cent = cent.withColumn("centroid", scaled)
+    return cent.select(
+        F.col("_cl").alias(cluster_col), "n_members", "centroid"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fellegi-Sunter probabilistic scoring
 # ---------------------------------------------------------------------------

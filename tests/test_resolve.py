@@ -407,3 +407,60 @@ def test_estimate_fs_graded_recovers_planted(spark):
 
     with pytest.raises(ValueError, match="level"):
         estimate_fs_graded(pairs, {"c0": 2, "c1": 2})  # c0 has level 2
+
+
+def test_entity_centroids_hand_computed(spark):
+    from semantic_entity_matching_spark.operators.resolve import entity_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [2.0, 2.0]),
+            (4, None),          # null vector excluded
+            (5, [0.0, 0.0]),    # zero-vector singleton: stays zeros
+        ],
+        "doc_id bigint, embedding array<float>",
+    )
+    members = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 11), (5, 12), (99, 13)],
+        "doc_id bigint, component bigint",
+    )
+    out = {
+        r.component: r.asDict()
+        for r in entity_centroids(members, emb, normalize=True).collect()
+    }
+    # cluster 10: mean (0.5, 0.5) -> normalized (0.707107, 0.707107)
+    assert out[10]["n_members"] == 2
+    assert out[10]["centroid"] == [0.707107, 0.707107]
+    # cluster 11: only member 3 counts (4 is null)
+    assert out[11]["n_members"] == 1
+    assert out[11]["centroid"] == [0.707107, 0.707107]
+    # zero vector: norm 0 -> unscaled zeros
+    assert out[12]["centroid"] == [0.0, 0.0]
+    # cluster 13 has no scorable member -> absent
+    assert 13 not in out
+
+
+def test_entity_centroids_unnormalized_and_partition_stable(spark):
+    from semantic_entity_matching_spark.operators.resolve import entity_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "doc_id bigint, embedding array<float>",
+    )
+    members = spark.createDataFrame(
+        [(i, i % 4) for i in range(60)], "doc_id bigint, component bigint"
+    )
+    base = sorted(
+        (r.component, r.n_members, tuple(r.centroid))
+        for r in entity_centroids(members, emb).collect()
+    )
+    again = sorted(
+        (r.component, r.n_members, tuple(r.centroid))
+        for r in entity_centroids(
+            members.repartition(7), emb.repartition(5)
+        ).collect()
+    )
+    assert again == base
+    assert all(n == 15 for _, n, _ in base)
