@@ -2086,6 +2086,85 @@ def q81_entity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missed-merge detection over TWO overlapping clusterings — the
+    cross-run reconciliation case (two incremental ER runs cluster the
+    same records differently).  Run A puts record v in cluster
+    ``2*(v div 5)``; run B in ``2*((v+2) div 5) + 1`` — adjacent
+    clusters share 3 of 5 members, so their centroids are genuinely
+    cosine-close (planted, the q12 convention: the raw corpus has no
+    directionally-coherent clusters to merge).  Centroids (q81
+    recurrence) → 8 md5-hash cells (q37 recurrence) → within-cell
+    centroid-cosine pairs at 0.5 — every stage engine-portable."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        hash_centroid_vectors,
+    )
+    from semantic_entity_matching_spark.operators.resolve import (
+        entity_merge_candidates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    run_a = emb.select(
+        "vec_id", (F.expr("vec_id div 5") * 2).alias("component")
+    )
+    run_b = emb.select(
+        "vec_id", (F.expr("(vec_id + 2) div 5") * 2 + 1).alias("component")
+    )
+    return entity_merge_candidates(
+        run_a.unionByName(run_b),
+        emb,
+        hash_centroid_vectors(nlist=8, dim=64),
+        id_col="vec_id",
+        cluster_col="component",
+        vec_col="embedding",
+        cosine_threshold=0.5,
+        round_to=6,
+        score_round=6,
+    )
+
+
+def q83_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-merge detection: weak clusters from label-bucketed cosine
+    edges at 0.25 (the q20 form), then strong-edge (>= 0.5) connected
+    components INSIDE each cluster — members bridged only by weak edges
+    fracture into subcomponents.  Edge-free rows become singleton
+    subcomponents of themselves."""
+    from semantic_entity_matching_spark.operators.cluster import (
+        clusters_from_pairs,
+    )
+    from semantic_entity_matching_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from semantic_entity_matching_spark.operators.resolve import (
+        split_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_near_duplicates(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        bucket_col="label",
+        cosine_threshold=0.25,
+        score_round=6,
+    )
+    clusters = clusters_from_pairs(
+        edges.select("id_a", "id_b"),
+        all_ids=emb.select("vec_id"),
+        id_col="vec_id",
+    )
+    return split_clusters(
+        clusters,
+        edges,
+        id_col="id",
+        cluster_col="component",
+        weight_col="cosine",
+        strong_threshold=0.5,
+    ).select(
+        F.col("id").alias("vec_id"), "component", "subcomponent"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2169,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_hard_negatives": q79_hard_negatives,
         "q80_bigram_ppl": q80_bigram_ppl,
         "q81_entity_centroids": q81_entity_centroids,
+        "q82_merge_candidates": q82_merge_candidates,
+        "q83_split_clusters": q83_split_clusters,
     }
 
 
@@ -4709,6 +4790,106 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN nrm.nv > 0 THEN round(m.mr / nrm.nv, 6)
                     ELSE m.mr END AS value
         FROM m JOIN nrm USING (component)
+    """
+
+    # q82: merge candidates — two overlapping clusterings (runs A and B,
+    # adjacent clusters share 3/5 members), the q81 centroid recurrence
+    # into the q37 md5-hash cell assignment into the q20 within-bucket
+    # pair form, all on rounded doubles so every engine resolves
+    # near-threshold pairs identically.
+    sql["q82_merge_candidates"] = """
+        WITH mem AS (
+            SELECT 2 * (vec_id // 5) AS component,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+            UNION ALL
+            SELECT 2 * ((vec_id + 2) // 5) + 1,
+                   generate_subscripts(embedding, 1) - 1,
+                   CAST(unnest(embedding) AS DOUBLE)
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), m AS (
+            SELECT component, pos,
+                   round(sum(v) / count(*), 6) AS mr,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM mem GROUP BY component, pos
+        ), nrm AS (
+            SELECT component, sqrt(sum(mr * mr)) AS nv
+            FROM m GROUP BY component
+        ), cvec AS (
+            SELECT m.component,
+                   CAST(max(m.c) AS BIGINT) AS n_members,
+                   list(CASE WHEN nrm.nv > 0 THEN round(m.mr / nrm.nv, 6)
+                             ELSE m.mr END ORDER BY m.pos) AS centroid
+            FROM m JOIN nrm USING (component)
+            GROUP BY m.component
+        ), cells AS (
+          SELECT j::INT AS cell,
+                 list_transform(range(0, 64), i ->
+                   (((instr('0123456789abcdef',
+                            substr(md5('cell-' || j), 2*(i % 16) + 1, 1)) - 1)
+                     * 16
+                     + instr('0123456789abcdef',
+                             substr(md5('cell-' || j), 2*(i % 16) + 2, 1))
+                     - 1)::DOUBLE / 128.0 - 1.0)) AS cv
+          FROM range(0, 8) t(j)
+        ), scored AS (
+          SELECT c.component, c.centroid, c.n_members, s.cell,
+                 round(list_cosine_similarity(c.centroid, s.cv), 6) AS ccos,
+                 row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY round(list_cosine_similarity(c.centroid, s.cv),
+                                  6) DESC, s.cell ASC) AS rk
+          FROM cvec c CROSS JOIN cells s
+        ), a AS (
+          SELECT component, centroid, n_members, cell
+          FROM scored WHERE rk = 1
+        )
+        SELECT x.component AS cluster_a, y.component AS cluster_b,
+               round(list_cosine_similarity(x.centroid, y.centroid), 6)
+                 AS cosine,
+               x.n_members AS n_a, y.n_members AS n_b
+        FROM a x JOIN a y
+          ON x.cell = y.cell AND x.component < y.component
+        WHERE round(list_cosine_similarity(x.centroid, y.centroid), 6)
+              >= 0.5
+    """
+
+    # q83: over-merge split detection — weak components from the q20 edge
+    # form at 0.25 (recursive reachability, singletons = own id), then a
+    # second reachability restricted to edges >= 0.5 gives subcomponents.
+    sql["q83_split_clusters"] = """
+        WITH RECURSIVE e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+        ), sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), walk(id, comp) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+        ), comps AS (
+            SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS component
+            FROM walk GROUP BY id
+        ), strongsym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs WHERE cosine >= 0.5
+            UNION SELECT id_b, id_a FROM pairs WHERE cosine >= 0.5
+        ), swalk(id, comp) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.v, w.comp FROM swalk w JOIN strongsym s ON s.u = w.id
+        ), subs AS (
+            SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS subcomponent
+            FROM swalk GROUP BY id
+        )
+        SELECT c.vec_id, c.component, s.subcomponent
+        FROM comps c JOIN subs s USING (vec_id)
     """
 
     return sql

@@ -182,12 +182,15 @@ def entity_centroids(
     mega-entity costs the same as a pair).  No window, no Python, no
     driver state.
     """
+    # members and embeddings are BOTH corpus-cardinality — an id-keyed
+    # shuffle-hash join, never a broadcast (small-SF stats would tempt
+    # Catalyst into building a corpus-sized HashedRelation at 100 TB)
     joined = members.select(
         F.col(id_col), F.col(cluster_col).alias("_cl")
     ).join(
-        embeddings.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col), F.col(vec_col).alias("_v")
-        ),
+        embeddings.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .hint("shuffle_hash"),
         id_col,
     )
     pos = joined.select(
@@ -223,6 +226,198 @@ def entity_centroids(
         cent = cent.withColumn("centroid", scaled)
     return cent.select(
         F.col("_cl").alias(cluster_col), "n_members", "centroid"
+    )
+
+
+def entity_merge_candidates(
+    members: DataFrame,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    round_to: int | None = 6,
+    score_round: int | None = 6,
+) -> DataFrame:
+    """Missed-merge detection: candidate CLUSTER pairs whose entity
+    centroids are cosine-close → ``(cluster_a, cluster_b, cosine, n_a,
+    n_b)``.
+
+    Entity resolution over-segments in practice (blocking misses, a
+    conservative threshold, records arriving across incremental runs
+    under different evidence) — the standard maintenance pass searches
+    for pairs of EXISTING clusters that look like one entity and feeds
+    them to review / re-scoring.  Comparing cluster centroids instead of
+    member records shrinks the problem from records² to entities² and is
+    exactly the entity-level analog of SemDeDup's document near-dup.
+
+    Pipeline (every stage an existing audited operator):
+    :func:`entity_centroids` (normalized, rounded — engine-portable) →
+    ``assign_nearest_centroid`` over ``centroids`` (cells = the blocking
+    key; ONE zero-shuffle Arrow/BLAS map) → within-cell cosine pairs
+    (never all-pairs).  Cross-cell pairs are not generated — the same
+    documented recall trade as SemDeDup; at production scale pass
+    ``train_ivf_centroids`` output and size ``nlist`` so cells stay
+    bounded (``semantic_cell_audit`` applies unchanged to the assignment
+    table).
+
+    Scale shape: the entity table is |corpus| / avg-cluster-size rows —
+    one to two orders below the record table — and every join here is
+    keyed on cell or cluster id (no broadcast of anything
+    corpus-cardinality, no window, no global sort).
+    """
+    from semantic_entity_matching_spark.operators.dedup import (
+        assign_nearest_centroid,
+        embedding_near_duplicates,
+    )
+
+    cents = entity_centroids(
+        members,
+        embeddings,
+        id_col=id_col,
+        cluster_col=cluster_col,
+        vec_col=vec_col,
+        normalize=True,
+        round_to=round_to,
+    )
+    assigned = assign_nearest_centroid(
+        cents,
+        centroids,
+        id_col=cluster_col,
+        vec_col="centroid",
+        score_round=score_round,
+    )
+    pairs = embedding_near_duplicates(
+        assigned,
+        id_col=cluster_col,
+        vec_col="centroid",
+        bucket_col="cell",
+        cosine_threshold=cosine_threshold,
+        score_round=score_round,
+    )
+    # the entity table scales with corpus / avg-cluster-size — smaller
+    # than the corpus but NOT broadcast-small; keyed shuffle-hash joins
+    # (the pipeline.py convention for any corpus-shaped side)
+    sizes = cents.select(F.col(cluster_col), F.col("n_members"))
+    return (
+        pairs.select(
+            F.col("id_a").alias("cluster_a"),
+            F.col("id_b").alias("cluster_b"),
+            "cosine",
+        )
+        .join(
+            sizes.select(
+                F.col(cluster_col).alias("cluster_a"),
+                F.col("n_members").alias("n_a"),
+            ).hint("shuffle_hash"),
+            "cluster_a",
+        )
+        .join(
+            sizes.select(
+                F.col(cluster_col).alias("cluster_b"),
+                F.col("n_members").alias("n_b"),
+            ).hint("shuffle_hash"),
+            "cluster_b",
+        )
+        .select("cluster_a", "cluster_b", "cosine", "n_a", "n_b")
+    )
+
+
+def split_clusters(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    weight_col: str = "score",
+    strong_threshold: float = 0.5,
+) -> DataFrame:
+    """Over-merge detection: re-run connected components INSIDE each
+    cluster keeping only edges with ``weight >= strong_threshold`` →
+    ``(id, component, subcomponent)``.
+
+    A cluster glued together by one weak bridge edge (a shared
+    boilerplate block key, a borderline score) fractures into multiple
+    subcomponents under the stricter threshold — those are the clusters
+    to re-review or split.  A member with no surviving strong edge
+    becomes its own singleton subcomponent (its own id — the CC
+    convention, deterministic).  Subcomponent ids are the minimum member
+    id reachable via strong intra-cluster edges, so output is
+    partition-stable and replays in SQL (recursive-CTE reachability, the
+    q23/q37 oracle pattern).
+
+    Scale shape: the threshold filter is map-side; the same-cluster
+    guard is two id-keyed hash joins (never broadcast — both sides are
+    corpus-cardinality); CC is the checkpointed large-star/small-star
+    operator whose cost is bounded by the STRONG edge set (a subset of
+    the already-blocked pair list); the final attach is one left join on
+    id.  No window, no global sort, no driver state beyond CC's
+    fixed-point signature."""
+    from semantic_entity_matching_spark.operators.cluster import (
+        connected_components,
+    )
+
+    base = clusters.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("component")
+    )
+    strong = edges.where(F.col(weight_col) >= strong_threshold).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    # keep only intra-cluster edges: endpoints must carry the SAME
+    # component (an edge across clusters is a merge concern — q82's job —
+    # not a split concern)
+    strong = (
+        strong.join(
+            base.select(
+                F.col("id").alias("id_a"), F.col("component").alias("_ca")
+            ).hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"), F.col("component").alias("_cb")
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+        .where(F.col("_ca") == F.col("_cb"))
+        .select("id_a", "id_b")
+    )
+    sub = connected_components(strong).select(
+        F.col("id"), F.col("component").alias("_sub")
+    )
+    return (
+        base.join(sub.hint("shuffle_hash"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias(cluster_col),
+            F.coalesce(F.col("_sub"), F.col("id")).alias("subcomponent"),
+        )
+    )
+
+
+def cluster_split_report(
+    split: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Roll :func:`split_clusters` output up to per-cluster fracture
+    stats → ``(component, n_members, n_subcomponents, largest_sub,
+    fractured)``, the review queue for over-merged entities.  One hash
+    aggregate keyed (component, subcomponent) then one keyed by
+    component — no window, no collect."""
+    per_sub = split.groupBy(cluster_col, "subcomponent").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_sub.groupBy(cluster_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_members"),
+            F.count(F.lit(1)).cast("bigint").alias("n_subcomponents"),
+            F.max("_n").cast("bigint").alias("largest_sub"),
+        )
+        .withColumn(
+            "fractured", (F.col("n_subcomponents") > 1).cast("boolean")
+        )
     )
 
 

@@ -464,3 +464,76 @@ def test_entity_centroids_unnormalized_and_partition_stable(spark):
     )
     assert again == base
     assert all(n == 15 for _, n, _ in base)
+
+
+def test_entity_merge_candidates_same_cell_detected(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        entity_merge_candidates,
+    )
+
+    # cells: axis-aligned centroids -> cell 0 catches x-heavy, cell 1 y-heavy
+    cells = [[1.0, 0.0], [0.0, 1.0]]
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.05]),   # cluster 10
+            (2, [1.0, 0.0]),    # cluster 10
+            (3, [1.0, 0.02]),   # cluster 11 -> centroid ~ cluster 10's
+            (4, [0.0, 1.0]),    # cluster 12 -> other cell
+            (5, [0.70, 0.7141]),  # cluster 13 -> cell 1 (y edges out)
+            (6, [0.7141, 0.70]),  # cluster 14 -> cell 0: near-identical to
+                                  # 13 but CROSS-CELL -> documented miss
+        ],
+        "doc_id bigint, embedding array<float>",
+    )
+    members = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 12), (5, 13), (6, 14)],
+        "doc_id bigint, component bigint",
+    )
+    out = {
+        (r.cluster_a, r.cluster_b): r.asDict()
+        for r in entity_merge_candidates(
+            members, emb, cells, cosine_threshold=0.99
+        ).collect()
+    }
+    assert (10, 11) in out
+    assert out[(10, 11)]["n_a"] == 2 and out[(10, 11)]["n_b"] == 1
+    # dissimilar cluster never pairs; the cross-cell near-pair is the
+    # documented SemDeDup-style recall trade
+    assert all(12 not in k for k in out)
+    assert (13, 14) not in out and (14, 13) not in out
+    assert len(out) == 1
+
+
+def test_split_clusters_and_report(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        cluster_split_report,
+        split_clusters,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id bigint, component bigint",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.9),   # strong intra
+            (2, 3, 0.3),   # weak bridge -> 3 splits off
+            (4, 5, 0.8),   # strong intra -> cluster 4 intact
+            (3, 4, 0.95),  # strong but CROSS-cluster -> ignored
+        ],
+        "id_a bigint, id_b bigint, score double",
+    )
+    split = split_clusters(clusters, edges, strong_threshold=0.5)
+    got = {r.doc_id: (r.component, r.subcomponent) for r in split.collect()}
+    assert got == {
+        1: (1, 1), 2: (1, 1), 3: (1, 3),   # fractured
+        4: (4, 4), 5: (4, 4),              # intact
+        6: (6, 6),                          # singleton, no edges
+    }
+    rep = {
+        r.component: r.asDict()
+        for r in cluster_split_report(split).collect()
+    }
+    assert rep[1]["fractured"] and rep[1]["n_subcomponents"] == 2
+    assert rep[1]["largest_sub"] == 2 and rep[1]["n_members"] == 3
+    assert not rep[4]["fractured"] and not rep[6]["fractured"]

@@ -464,6 +464,46 @@ def main() -> None:
         else "a Window or CartesianProduct leaked into the q76 plan",
     )
 
+    # 18. q82 merge candidates: centroid aggregation + cell-keyed pair
+    # join + entity-keyed size joins — no Window (the aggregate/transform
+    # reassembly replaces one), no CartesianProduct, and no
+    # BroadcastHashJoin anywhere: the entity table scales with
+    # corpus / avg-cluster-size and the size joins are hinted
+    # shuffle_hash (pipeline.py convention).  The only allowed broadcast
+    # is the centroid matrix inside the mapInPandas closure, which never
+    # appears as a plan node.
+    e_mc = explained_of(E.q82_merge_candidates(spark, SF)).lower()
+    ok_mc = (
+        "cartesianproduct" not in e_mc
+        and "broadcasthashjoin" not in e_mc
+        and "window" not in e_mc
+    )
+    check(
+        "merge_candidates_no_broadcast_no_window",
+        ok_mc,
+        "entity joins are shuffle-hash; no Window/Cartesian/broadcast"
+        if ok_mc
+        else "a broadcast, Window or Cartesian leaked into the q82 plan",
+    )
+
+    # 19. q83 split clusters: the same-component guard and the
+    # subcomponent attach are id-keyed shuffle-hash joins — clusters and
+    # edges are corpus-cardinality, a broadcast of either OOMs at web
+    # scale; CC supersteps are the only iteration.
+    e_sc = explained_of(E.q83_split_clusters(spark, SF)).lower()
+    ok_sc = (
+        "cartesianproduct" not in e_sc
+        and "broadcasthashjoin" not in e_sc
+        and "window" not in e_sc
+    )
+    check(
+        "split_clusters_no_broadcast_no_window",
+        ok_sc,
+        "corpus-side joins are shuffle-hash; no Window/Cartesian/broadcast"
+        if ok_sc
+        else "a broadcast, Window or Cartesian leaked into the q83 plan",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
