@@ -2165,6 +2165,31 @@ def q83_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric-Jaccard) near-dup: pairs whose SMALLER
+    token set is >= 90% inside the larger one — the small-doc-inside-
+    big-doc duplication symmetric-Jaccard LSH misses (a page quoted
+    whole inside an aggregator has jaccard ~|A|/|B| but containment 1).
+    Candidates come from exact prefix filtering (rarest-first token
+    prefixes probed against the full inverted index — Bayardo WWW'07),
+    NOT banding, so the result equals the quadratic containment truth
+    the oracle computes: no recall caveat at any threshold."""
+    from semantic_entity_matching_spark.operators.dedup import (
+        containment_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = containment_near_duplicates(
+        docs, id_col="doc_id", text_col="text", containment_threshold=0.9
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("containment"), 6).alias("containment"),
+        F.round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2250,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_entity_centroids": q81_entity_centroids,
         "q82_merge_candidates": q82_merge_candidates,
         "q83_split_clusters": q83_split_clusters,
+        "q84_containment_neardup": q84_containment_neardup,
     }
 
 
@@ -4890,6 +4916,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT c.vec_id, c.component, s.subcomponent
         FROM comps c JOIN subs s USING (vec_id)
+    """
+
+    # q84: quadratic containment truth — same tokenization as q21;
+    # containment = |A∩B| / min(|A|,|B|) over distinct tokens.
+    sql["q84_containment_neardup"] = """
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE len(tok) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.tok, b.tok))::DOUBLE
+                       / least(len(a.tok), len(b.tok)) AS containment,
+                   len(list_intersect(a.tok, b.tok))::DOUBLE
+                       / len(list_distinct(list_concat(a.tok, b.tok)))
+                       AS jaccard
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(containment, 6) AS containment,
+               round(jaccard, 6) AS jaccard
+        FROM pairs WHERE containment >= 0.9
     """
 
     return sql
