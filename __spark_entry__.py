@@ -2190,6 +2190,49 @@ def q84_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (daily-crawl shape):
+    a deterministic edge set over doc_id (7-wide stars + every-35 bridge
+    edges) is split into "yesterday" (even id_a) and "today" (odd id_a);
+    the base clustering is built from yesterday's edges only, then
+    ``update_components`` folds in today's delta.  The oracle recomputes
+    CC over the FULL edge set from scratch (recursive-CTE reachability,
+    component = min(id)) — passing proves the incremental result is
+    byte-identical to a full recompute, the exactness contract that makes
+    delta maintenance usable at 10^12 docs where re-running CC over the
+    entire edge history is not.  Reference concern: the reference
+    re-ingests idempotently (lib/ingest.py:63,90-94) but rebuilds nothing
+    incrementally; the north_rule's resumability requirement makes this
+    first-class."""
+    from semantic_entity_matching_spark.operators.cluster import (
+        clusters_from_pairs,
+        update_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    stars = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("id_b"),
+    )
+    bridges = docs.where(
+        (F.col("doc_id") % 35 == 0) & (F.col("doc_id") >= 35)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.lit(35)).alias("id_b"),
+    )
+    edges = stars.unionByName(bridges).join(
+        ids.withColumnRenamed("doc_id", "id_b"), "id_b", "semi"
+    )
+    old_edges = edges.where(F.col("id_a") % 2 == 0)
+    new_edges = edges.where(F.col("id_a") % 2 != 0)
+    base = clusters_from_pairs(old_edges, all_ids=ids, id_col="doc_id")
+    out = update_components(base, new_edges)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2276,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_merge_candidates": q82_merge_candidates,
         "q83_split_clusters": q83_split_clusters,
         "q84_containment_neardup": q84_containment_neardup,
+        "q85_incremental_clusters": q85_incremental_clusters,
     }
 
 
@@ -4942,6 +4986,31 @@ def oracle_sql() -> dict[str, str]:
                round(containment, 6) AS containment,
                round(jaccard, 6) AS jaccard
         FROM pairs WHERE containment >= 0.9
+    """
+
+    # q85: the incremental-update exactness contract IS "equals a full
+    # recompute" — so the oracle ignores the old/new split entirely and
+    # walks reachability over the complete edge set.
+    sql["q85_incremental_clusters"] = """
+        WITH RECURSIVE e0 AS (
+            SELECT doc_id AS id_a, doc_id - (doc_id % 7) AS id_b
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id, doc_id - 35
+            FROM documents WHERE doc_id % 35 = 0 AND doc_id >= 35
+        ), e1 AS (
+            SELECT e0.id_a, e0.id_b FROM e0
+            JOIN documents d ON d.doc_id = e0.id_b
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM e1
+            UNION
+            SELECT id_b AS u, id_a AS v FROM e1
+        ), walk(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+        )
+        SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
     """
 
     return sql

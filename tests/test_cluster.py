@@ -85,3 +85,120 @@ def test_predicted_pairs_and_metrics(spark):
     m = pairwise_metrics(pred, gold)
     assert (m.true_positives, m.false_positives, m.false_negatives) == (3, 1, 1)
     assert m.precision == 0.75 and m.recall == 0.75
+
+
+# ---------------------------------------------------------------------------
+# incremental update_components
+# ---------------------------------------------------------------------------
+
+def _edges_df(spark, edges):
+    if not edges:
+        return spark.createDataFrame([], "id_a string, id_b string")
+    return spark.createDataFrame(edges, "id_a string, id_b string")
+
+
+def _assign(spark, edges, all_ids=None):
+    from semantic_entity_matching_spark.operators.cluster import (
+        clusters_from_pairs,
+    )
+    ids = (
+        spark.createDataFrame([(i,) for i in all_ids], "url string")
+        if all_ids is not None
+        else None
+    )
+    return clusters_from_pairs(_edges_df(spark, edges), all_ids=ids)
+
+
+def test_update_equals_full_recompute_randomized(spark):
+    import hashlib
+
+    from semantic_entity_matching_spark.operators.cluster import (
+        connected_components,
+        update_components,
+    )
+
+    def h(seed, i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), 16)
+
+    for seed in (1, 2, 3):
+        n = 60
+        all_edges = [
+            (f"n{h(seed, i) % n:02d}", f"n{h(seed, i + 1000) % n:02d}")
+            for i in range(70)
+        ]
+        all_edges = [(a, b) for a, b in all_edges if a != b]
+        cut = len(all_edges) * 2 // 3
+        old_edges, new_edges = all_edges[:cut], all_edges[cut:]
+        base = _assign(spark, old_edges)
+        got = {
+            (r["id"], r["component"])
+            for r in update_components(
+                base, _edges_df(spark, new_edges)
+            ).collect()
+        }
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(_edges_df(spark, all_edges)).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_update_merges_two_old_components(spark):
+    from semantic_entity_matching_spark.operators.cluster import (
+        update_components,
+    )
+
+    base = _assign(spark, [("a", "b"), ("c", "d")], all_ids=["a", "b", "c", "d", "z"])
+    got = {
+        r["id"]: r["component"]
+        for r in update_components(
+            base, _edges_df(spark, [("b", "c")])
+        ).collect()
+    }
+    # merged component takes the global min id; untouched singleton z intact
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
+def test_update_untouched_pass_through_and_new_singletons(spark):
+    from semantic_entity_matching_spark.operators.cluster import (
+        update_components,
+    )
+
+    base = _assign(spark, [("a", "b"), ("c", "d")])
+    new_ids = spark.createDataFrame([("p",), ("q",), ("a",)], "id string")
+    got = {
+        r["id"]: r["component"]
+        for r in update_components(
+            base, _edges_df(spark, [("p", "q")]), new_ids=new_ids
+        ).collect()
+    }
+    # old components untouched; p-q a brand-new component; 'a' not duplicated
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "p": "p", "q": "p"}
+
+
+def test_update_empty_delta_is_identity(spark):
+    from semantic_entity_matching_spark.operators.cluster import (
+        update_components,
+    )
+
+    base = _assign(spark, [("a", "b"), ("c", "d")])
+    got = {
+        (r["id"], r["component"])
+        for r in update_components(base, _edges_df(spark, [])).collect()
+    }
+    assert got == {(r["id"], r["component"]) for r in base.collect()}
+
+
+def test_update_new_node_joins_old_component(spark):
+    from semantic_entity_matching_spark.operators.cluster import (
+        update_components,
+    )
+
+    base = _assign(spark, [("m", "n")])
+    got = {
+        r["id"]: r["component"]
+        for r in update_components(
+            base, _edges_df(spark, [("n", "zz")])
+        ).collect()
+    }
+    assert got == {"m": "m", "n": "m", "zz": "m"}
