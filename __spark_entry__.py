@@ -2233,6 +2233,28 @@ def q85_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val/test split: every near-dup CLUSTER is
+    hashed to exactly one split (80/10/10), so eval documents can never
+    leak into training through surviving cluster-mates — the split step a
+    dedup pipeline must apply AFTER clustering, not per-row.  Boundaries
+    are integer floor(cum*2^32) thresholds compared lexically on the md5
+    prefix: zero float comparisons, so the oracle replays the assignment
+    bit-identically.  Scale shape: one codegen CASE over an existing
+    column — no shuffle, join, or UDF."""
+    from semantic_entity_matching_spark.operators.sample import cluster_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clustered = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("cluster_id")
+    )
+    return cluster_split(
+        clustered,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        cluster_col="cluster_id",
+    ).select("doc_id", "cluster_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2320,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_split_clusters": q83_split_clusters,
         "q84_containment_neardup": q84_containment_neardup,
         "q85_incremental_clusters": q85_incremental_clusters,
+        "q86_cluster_split": q86_cluster_split,
     }
 
 
@@ -5011,6 +5034,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
         )
         SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+    """
+
+    # q86: the split boundaries are integer floor(cum*2^32) hex literals
+    # compared lexically on the md5 prefix — import the operator's own
+    # boundary computation so oracle and engine can never drift.
+    from semantic_entity_matching_spark.operators.sample import (
+        split_bounds_hex,
+    )
+
+    (_, _b_train), (_, _b_val), _ = split_bounds_hex(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sql["q86_cluster_split"] = f"""
+        SELECT doc_id,
+               doc_id - (doc_id % 5) AS cluster_id,
+               CASE
+                   WHEN substr(md5(cast(doc_id - (doc_id % 5) AS VARCHAR)),
+                               1, 8) < '{_b_train}' THEN 'train'
+                   WHEN substr(md5(cast(doc_id - (doc_id % 5) AS VARCHAR)),
+                               1, 8) < '{_b_val}' THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
     """
 
     return sql

@@ -209,3 +209,83 @@ def mix_corpus(
         F.broadcast(qdf), "_sk"
     )
     return _first_per_stratum(base, id_col, df.columns, oversample)
+
+
+def split_bounds_hex(fractions) -> list:
+    """Cumulative split boundaries as zero-padded 8-char lowercase hex
+    strings of ``floor(cum_fraction * 2^32)`` — shared by the operator and
+    any external replay (the DuckDB oracle embeds the same literals).
+    Returns ``[(name, upper_bound_hex_or_None), ...]`` in the given order;
+    the last split has no upper bound (catches everything below 1.0, so
+    float rounding in the cumulative sum can never orphan a row)."""
+    items = list(fractions.items()) if hasattr(fractions, "items") else list(fractions)
+    if not items:
+        raise ValueError("fractions must be non-empty")
+    names = [n for n, _ in items]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    if any(not isinstance(n, str) or not n for n in names):
+        raise ValueError(f"split names must be non-empty strings: {names}")
+    if any(f <= 0 for _, f in items):
+        raise ValueError("every split fraction must be > 0")
+    total = float(sum(f for _, f in items))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for name, frac in items[:-1]:
+        cum += float(frac)
+        out.append((name, format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")))
+    out.append((items[-1][0], None))
+    return out
+
+
+def cluster_split(
+    df: DataFrame,
+    fractions,
+    cluster_col: str = "component",
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-guarded train/val/test split: assign every CLUSTER — not
+    every row — to a split, so near-duplicate / same-entity rows can never
+    straddle a train/eval boundary (splitting a deduplicated web corpus by
+    row leaks eval documents into training through their surviving
+    near-dup cluster-mates; the standard fix is to split on the dedup
+    clustering itself).
+
+    * ``fractions``: ``{"train": 0.8, "val": 0.1, "test": 0.1}`` (order
+      significant — boundaries are cumulative in iteration order; must
+      sum to 1).
+    * Assignment is ``md5(salt || cluster_id)`` compared LEXICALLY on the
+      first 8 hex chars against integer ``floor(cum*2^32)`` boundaries —
+      zero floating-point comparisons, so the split is bit-identical in
+      any engine with md5 (same portability convention as
+      :func:`deterministic_sample`) and stable under corpus growth: a
+      cluster keeps its split when the corpus around it changes, and
+      :func:`~semantic_entity_matching_spark.operators.cluster.update_components`
+      deltas only re-split clusters whose min-id label changed.
+    * ``salt`` re-draws the whole split without touching ids (fold
+      cross-validation = k salts).
+    * NULL ``cluster_col`` yields NULL ``split`` — unclustered rows have
+      no leakage constraint and no identity to hash; assign them ids (or
+      run them through clustering) first, or filter the NULLs and split
+      them per-row with :func:`deterministic_sample` boundaries.
+
+    Scale shape: ONE codegen CASE expression over an existing column —
+    no shuffle, no join, no UDF; proportions hold over the number of
+    CLUSTERS (row shares converge to the same fractions unless cluster
+    size correlates with the hash, which md5 precludes)."""
+    bounds = split_bounds_hex(fractions)
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(cluster_col).cast("string"))), 1, 8
+    )
+    case = None
+    for name, ub in bounds[:-1]:
+        cond = h8 < F.lit(ub)
+        case = F.when(cond, F.lit(name)) if case is None else case.when(cond, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    chain = last if case is None else case.otherwise(last)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(cluster_col).isNull(), F.lit(None).cast("string")).otherwise(chain),
+    )
