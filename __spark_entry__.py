@@ -2255,6 +2255,47 @@ def q86_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "split")
 
 
+def q87_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one linkage assignment between two deduplicated sources
+    (even doc_ids = source A, odd = source B; candidates = A-id + 1/3/5
+    built by explode + semi-join, never a non-equi join) via iterated
+    mutual-best matching — equal to the global greedy matching under the
+    (-score, other_id) total order without any global sort.  Scores are
+    deterministic integer arithmetic so the contract isolates the
+    ASSIGNMENT algorithm (comparator parity is q24's job).  The oracle
+    replays the iteration exactly: 8 unrolled rounds of window-ranked
+    mutual-best + anti-join retirement, generated by the same loop
+    structure the operator runs."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        one_to_one_match,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a_side = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a")
+    )
+    cand = a_side.select(
+        "id_a",
+        F.explode(
+            F.array(
+                F.col("id_a") + 1, F.col("id_a") + 3, F.col("id_a") + 5
+            )
+        ).alias("id_b"),
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "semi"
+    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            ((F.col("id_a") * 7 + F.col("id_b") * 13) % 97) / 97.0, 6
+        ).alias("score"),
+    )
+    return one_to_one_match(pairs, max_rounds=8).select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2343,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_containment_neardup": q84_containment_neardup,
         "q85_incremental_clusters": q85_incremental_clusters,
         "q86_cluster_split": q86_cluster_split,
+        "q87_one_to_one_linkage": q87_one_to_one_linkage,
     }
 
 
@@ -5058,5 +5100,41 @@ def oracle_sql() -> dict[str, str]:
                END AS split
         FROM documents
     """
+
+    # q87: replay iterated mutual-best exactly — 8 unrolled rounds, each
+    # a window-ranked mutual filter + anti-join retirement, generated by
+    # a loop so oracle and operator share the round structure.
+    _rounds = 8
+    _o2o = """
+        WITH rem0 AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(((a.doc_id * 7 + b.doc_id * 13) % 97) / 97.0, 6)
+                       AS score
+            FROM documents a
+            JOIN documents b
+              ON b.doc_id IN (a.doc_id + 1, a.doc_id + 3, a.doc_id + 5)
+            WHERE a.doc_id % 2 = 0
+        ), acc0 AS MATERIALIZED (SELECT id_a, id_b, score FROM rem0 WHERE FALSE)"""
+    for _i in range(1, _rounds + 1):
+        _p = _i - 1
+        _o2o += f""", s{_i} AS MATERIALIZED (
+            SELECT id_a, id_b, score,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY score DESC, id_b) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                                      ORDER BY score DESC, id_a) AS rb
+            FROM rem{_p}
+        ), m{_i} AS MATERIALIZED (
+            SELECT id_a, id_b, score FROM s{_i} WHERE ra = 1 AND rb = 1
+        ), acc{_i} AS MATERIALIZED (
+            SELECT * FROM acc{_p} UNION ALL SELECT * FROM m{_i}
+        ), rem{_i} AS MATERIALIZED (
+            SELECT r.* FROM rem{_p} r
+            WHERE r.id_a NOT IN (SELECT id_a FROM acc{_i})
+              AND r.id_b NOT IN (SELECT id_b FROM acc{_i})
+        )"""
+    sql["q87_one_to_one_linkage"] = (
+        _o2o + f" SELECT id_a, id_b, score FROM acc{_rounds}"
+    )
 
     return sql

@@ -965,3 +965,100 @@ def estimate_fs_graded(
         for j, c in enumerate(cols)
     ]
     return comparisons, lam
+
+
+def one_to_one_match(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """One-to-one linkage assignment between two deduplicated sources by
+    iterated mutual-best matching: each surviving pair is kept iff it is
+    simultaneously its left record's best candidate and its right
+    record's best candidate; matched records leave the pool and the rule
+    re-applies to the remainder.
+
+    Under the deterministic total order ``(-score, other_id)`` this
+    fixpoint equals the classical GLOBAL greedy matching (sort all pairs
+    by score, accept unless an endpoint is taken): the best remaining
+    pair is always mutual-best, so every round accepts a prefix of the
+    greedy order and at least one pair — but it needs no global sort and
+    no sequential scan.  Pytest pins equality against a Python greedy
+    reference on randomized inputs.
+
+    Scale shape per round: two hash aggregates (min-struct per left id,
+    min-struct per right id — never a Window, so hot candidates
+    AQE-split) + one join of the two best tables + two anti-joins to
+    retire matched endpoints, with a lineage cut per round like the CC
+    supersteps.  Rounds needed = length of the longest "chain" of
+    second-choice promotions (small on real score distributions);
+    ``max_rounds`` bounds the worst case and the function raises if the
+    pool is still non-empty after them, so a silent partial matching can
+    never masquerade as the fixpoint.
+
+    Null/NaN scores and null ids are dropped up front (no order against
+    them).  Returns the matched pairs ``(id_a, id_b, score)``.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    remaining = (
+        pairs.select(
+            F.col(id_a).alias("id_a"),
+            F.col(id_b).alias("id_b"),
+            F.col(score_col).cast("double").alias("score"),
+        )
+        .where(
+            F.col("id_a").isNotNull()
+            & F.col("id_b").isNotNull()
+            & F.col("score").isNotNull()
+            & ~F.isnan("score")
+        )
+        .localCheckpoint(eager=False)
+    )
+    spark = pairs.sparkSession
+    matched = spark.createDataFrame([], "id_a string, id_b string, score double")
+    matched = matched.select(
+        F.col("id_a").cast(remaining.schema["id_a"].dataType).alias("id_a"),
+        F.col("id_b").cast(remaining.schema["id_b"].dataType).alias("id_b"),
+        "score",
+    )
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            return matched
+        best_a = remaining.groupBy("id_a").agg(
+            F.min(F.struct(-F.col("score"), F.col("id_b"))).alias("_k")
+        )
+        best_b = remaining.groupBy("id_b").agg(
+            F.min(F.struct(-F.col("score"), F.col("id_a"))).alias("_k")
+        )
+        # join-based mutual check: a pair survives iff it reproduces both
+        # endpoints' min-struct keys
+        mutual = (
+            remaining.alias("r")
+            .join(best_a.alias("ba"), "id_a")
+            .where(
+                F.struct(-F.col("r.score"), F.col("r.id_b"))
+                == F.col("ba._k")
+            )
+            .join(best_b.alias("bb"), "id_b")
+            .where(
+                F.struct(-F.col("r.score"), F.col("r.id_a"))
+                == F.col("bb._k")
+            )
+            .select("id_a", "id_b", F.col("r.score").alias("score"))
+        )
+        matched = matched.unionByName(mutual).localCheckpoint(eager=True)
+        taken = matched
+        remaining = (
+            remaining.join(taken.select("id_a"), "id_a", "left_anti")
+            .join(taken.select("id_b"), "id_b", "left_anti")
+            .select("id_a", "id_b", "score")
+            .localCheckpoint(eager=True)
+        )
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"one_to_one_match did not exhaust the pair pool in {max_rounds} rounds"
+        )
+    return matched
