@@ -2296,6 +2296,63 @@ def q87_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff: yesterday = the documents table, today = a
+    deterministically mutated copy (every 17th id dropped, every 13th
+    text appended-to, every 29th re-added under a shifted id) — the
+    operator classifies added/removed/changed off ONE full-outer join on
+    md5 fingerprints and emits only the delta (unchanged rows never
+    materialize), which is the property that matters when 99% of a
+    10^12-page snapshot didn't change."""
+    from semantic_entity_matching_spark.operators.diff import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    new = mutated.unionByName(added)
+    return crawl_diff(old, new, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "status", "old_fp", "new_fp"
+    )
+
+
+def q89_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language text-length deciles (type-1 inverse CDF) — the
+    deterministic quantiles a length-truncation/drop-shortest-decile data
+    contract needs, vs percentile_approx's run-dependent answers.  The
+    corpus collapses to one count per (lang, length) first (map-side
+    combinable; the value DOMAIN is bounded even at 10^12 rows), and all
+    order statistics run on that bounded table with pure integer
+    thresholds (cum*q >= k*n — no float ceil boundary surprises)."""
+    from semantic_entity_matching_spark.operators.stats import (
+        exact_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang", F.length("text").cast("bigint").alias("text_len")
+    )
+    out = exact_quantiles(lens, "text_len", q=10, group_col="lang")
+    return out.select(
+        "lang",
+        F.col("k").cast("int").alias("k"),
+        F.col("value").cast("bigint").alias("text_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2385,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_incremental_clusters": q85_incremental_clusters,
         "q86_cluster_split": q86_cluster_split,
         "q87_one_to_one_linkage": q87_one_to_one_linkage,
+        "q88_crawl_diff": q88_crawl_diff,
+        "q89_exact_deciles": q89_exact_deciles,
     }
 
 
@@ -5136,5 +5195,59 @@ def oracle_sql() -> dict[str, str]:
     sql["q87_one_to_one_linkage"] = (
         _o2o + f" SELECT id_a, id_b, score FROM acc{_rounds}"
     )
+
+    # q88: same deterministic snapshot mutation, same md5 fingerprints,
+    # full-outer join + status CASE; delta-only (unchanged filtered).
+    sql["q88_crawl_diff"] = """
+        WITH old_side AS (
+            SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+        ), new_side AS (
+            SELECT doc_id,
+                   md5(coalesce(CASE WHEN doc_id % 13 = 0
+                                     THEN coalesce(text, '') || ' v2'
+                                     ELSE text END, '')) AS fp
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 100000,
+                   md5('new page ' || cast(doc_id AS VARCHAR))
+            FROM documents WHERE doc_id % 29 = 0
+        ), j AS (
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   o.fp AS old_fp, n.fp AS new_fp
+            FROM old_side o FULL OUTER JOIN new_side n
+              ON o.doc_id = n.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_fp, new_fp
+        FROM j
+        WHERE NOT (old_fp IS NOT NULL AND new_fp IS NOT NULL
+                   AND old_fp = new_fp)
+    """
+
+    # q89: exact per-lang deciles via the same domain-table + integer
+    # threshold construction (cum*10 >= k*n; type-1 inverse CDF).
+    sql["q89_exact_deciles"] = """
+        WITH lens AS (
+            SELECT lang, length(text)::BIGINT AS v
+            FROM documents WHERE text IS NOT NULL
+        ), counts AS (
+            SELECT lang, v, count(*) AS c FROM lens GROUP BY lang, v
+        ), cum AS (
+            SELECT lang, v,
+                   sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                   sum(c) OVER (PARTITION BY lang) AS n
+            FROM counts
+        ), ks AS (SELECT unnest(range(1, 11)) AS k)
+        SELECT cum.lang,
+               ks.k::INT AS k,
+               min(CASE WHEN cum.cum * 10 >= ks.k * cum.n
+                        THEN cum.v END) AS text_len
+        FROM cum CROSS JOIN ks
+        GROUP BY cum.lang, ks.k
+    """
 
     return sql

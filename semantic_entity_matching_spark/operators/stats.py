@@ -1,0 +1,84 @@
+"""Exact corpus distribution statistics.
+
+``percentile_approx`` answers dashboards; data CONTRACTS (e.g. "drop the
+shortest decile", "truncate at the P99 token length") need quantiles that
+are exact, deterministic, and reproducible across engines and
+partitionings.  For the columns these contracts run on — token counts,
+char lengths, quality scores quantized to fixed decimals — the VALUE
+DOMAIN is bounded (a length fits in [0, ~1e6]) even when the corpus is
+10^12 rows, which makes exact quantiles cheap: aggregate the corpus to
+one count per distinct value (map-side combinable), then do all order
+statistics on that domain-sized table.
+
+Scale shape: ONE hash aggregate over the corpus → |domain| rows; the
+cumulative window and the quantile selection run on the bounded domain
+table, never on corpus rows.  Thresholds use pure integer arithmetic
+(``cum * q >= k * n`` instead of ``cum >= ceil(k*n/q)`` — equivalent for
+integer ``cum``, and free of float-boundary surprises like
+``ceil(0.1 * 500) = 51``), so results are bit-identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    q: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact type-1 (inverse-CDF) q-quantiles of ``value_col``:
+    for each ``k`` in 1..q, the smallest value whose cumulative count
+    ``cum`` satisfies ``cum * q >= k * n`` (k=q yields the max).
+
+    * ``group_col``: per-group quantiles (the cumulative window is
+      partitioned by group — each partition is domain-sized, never
+      corpus-sized).
+    * NULL values are excluded; with no non-null values the result is
+      empty (never NULL-valued quantile rows).
+    * Overflow: ``cum * q`` and ``k * n`` must fit int64 — fine for
+      q <= 1000 at 10^12 rows.
+
+    Returns ``(k, value)`` (+ ``group_col`` when grouped).
+    """
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    keys = [group_col] if group_col else []
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy(value_col)
+        if keys
+        else Window.orderBy(value_col)
+    )
+    # window over the DOMAIN-sized count table, not the corpus
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    if keys:
+        # per-group total via an unordered partition window over the same
+        # domain-sized table: no join, and NULL group values (a legitimate
+        # stratum) are never dropped the way an equi-join would drop them
+        cum = cum.withColumn(
+            "_n", F.max("_cum").over(Window.partitionBy(*keys))
+        )
+    else:
+        totals = cum.agg(F.max("_cum").alias("_n"))
+        cum = cum.crossJoin(F.broadcast(totals))  # one scalar row
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") * q >= k * F.col("_n"), F.col(value_col)
+            )
+        ).alias(f"_q{k}")
+        for k in range(1, q + 1)
+    ]
+    wide = cum.groupBy(*keys).agg(*aggs) if keys else cum.agg(*aggs)
+    stack = ", ".join(f"{k}, _q{k}" for k in range(1, q + 1))
+    out = wide.select(
+        *keys, F.expr(f"stack({q}, {stack}) as (k, value)")
+    ).where(F.col("value").isNotNull())
+    return out
