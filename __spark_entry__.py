@@ -2353,6 +2353,23 @@ def q89_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-text estimate (p=8, 256
+    registers) — the MERGEABLE cardinality sketch: per-day register
+    tables union-max into all-time distincts without re-scanning crawl
+    history.  Every step is engine-portable and deterministic: md5
+    register index + 40-bit rho window, FIXED-POINT harmonic denominator
+    (sum of 2^(41-rho) — exact int, so the estimate is independent of
+    partitioning and float summation order), inlined alpha literal,
+    linear-counting small-range branch.  The oracle replays the sketch
+    bit-exactly via the md5 nibble-fold."""
+    from semantic_entity_matching_spark.functions.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hll_distinct(docs, key_col="lang", value_col="text", p=8)
+    return out.select(F.col("key").alias("lang"), "distinct_est")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2444,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_one_to_one_linkage": q87_one_to_one_linkage,
         "q88_crawl_diff": q88_crawl_diff,
         "q89_exact_deciles": q89_exact_deciles,
+        "q90_hll_distinct": q90_hll_distinct,
     }
 
 
@@ -5248,6 +5266,50 @@ def oracle_sql() -> dict[str, str]:
                         THEN cum.v END) AS text_len
         FROM cum CROSS JOIN ks
         GROUP BY cum.lang, ks.k
+    """
+
+    # q90: HLL replayed bit-exactly — md5 nibble-fold register index +
+    # 40-bit rho window, fixed-point integer denominator, the SAME
+    # Python-computed alpha literal as the operator, linear-counting
+    # branch.  2^41 = 2199023255552; 2.5*m = 640.
+    from semantic_entity_matching_spark.functions.sketch import hll_alpha
+
+    _nib = (
+        lambda i: f"(instr('0123456789abcdef', substr(hh, {i}, 1)) - 1)"
+    )
+    _idx = f"(16 * {_nib(1)} + {_nib(2)})"
+    _v = " + ".join(
+        f"{_nib(j)}::BIGINT * {16 ** (12 - j)}" for j in range(3, 13)
+    )
+    _num = repr(hll_alpha(256) * 256 * 256 * float(1 << 41))
+    sql["q90_hll_distinct"] = f"""
+        WITH h AS (
+            SELECT lang, md5(text) AS hh
+            FROM documents WHERE text IS NOT NULL
+        ), rv AS (
+            SELECT lang, {_idx} AS idx, ({_v}) AS v FROM h
+        ), regs AS (
+            SELECT lang, idx,
+                   max(CASE WHEN v = 0 THEN 41
+                            ELSE 41 - length(bin(v)) END) AS rho
+            FROM rv GROUP BY lang, idx
+        ), agg AS (
+            SELECT lang,
+                   sum(CAST(1 AS BIGINT) << CAST(41 - rho AS INT)) AS s,
+                   count(*) AS observed
+            FROM regs GROUP BY lang
+        ), est AS (
+            SELECT lang,
+                   {_num} / ((256 - observed) * 2199023255552 + s)::DOUBLE
+                       AS raw,
+                   256 - observed AS zeros
+            FROM agg
+        )
+        SELECT lang,
+               round(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros)
+                          ELSE raw END, 4) AS distinct_est
+        FROM est
     """
 
     return sql
