@@ -425,7 +425,7 @@ def q21_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
-def q22_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-ball near-dup — exact, not probabilistic.
 
     ``max_hamming=3 < n_bands=4`` makes the band grouping pigeonhole-
@@ -970,7 +970,7 @@ def q45_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q46_repetition_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_repetition_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher repetition rule family: top 2/3/4-gram fractions +
     duplicate-line fraction (lines synthesized deterministically by
     breaking on common words — the driver corpus is single-line).  One
@@ -1016,7 +1016,7 @@ def q47_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q48_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality DECISION: per-rule 0/1 flags + overall verdict
-    over the same line-synthesized text as q46 — word-count bounds, mean
+    over the same line-synthesized text as q85 — word-count bounds, mean
     word length, alphabetic-word fraction, distinct-stopword minimum, and
     the four repetition caps composed into the keep/drop bit."""
     from semantic_entity_matching_spark.functions.textops import (
@@ -1090,7 +1090,7 @@ def q49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q50_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide C4-style line dedup over the q46 line-synthesized text:
+    """Corpus-wide C4-style line dedup over the q85 line-synthesized text:
     each distinct line survives only at its smallest (doc_id, pos)
     occurrence; documents are reassembled from their surviving lines.
     The small shared vocabulary makes line collisions across documents
@@ -2190,7 +2190,7 @@ def q84_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q85_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected-components maintenance (daily-crawl shape):
     a deterministic edge set over doc_id (7-wide stars + every-35 bridge
     edges) is split into "yesterday" (even id_a) and "today" (odd id_a);
@@ -2255,7 +2255,7 @@ def q86_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "split")
 
 
-def q87_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-one linkage assignment between two deduplicated sources
     (even doc_ids = source A, odd = source B; candidates = A-id + 1/3/5
     built by explode + semi-join, never a non-equi join) via iterated
@@ -2393,7 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_lexical_bm25": q19_lexical_bm25,
         "q20_embedding_neardup": q20_embedding_neardup,
         "q21_minhash_neardup": q21_minhash_neardup,
-        "q22_simhash_neardup": q22_simhash_neardup,
+        "q22_one_to_one_linkage": q22_one_to_one_linkage,
         "q23_entity_clusters": q23_entity_clusters,
         "q24_string_sims": q24_string_sims,
         "q25_outlink_domains": q25_outlink_domains,
@@ -2417,7 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_jsonl_scan": q43_jsonl_scan,
         "q44_fs_graded": q44_fs_graded,
         "q45_decontaminate": q45_decontaminate,
-        "q46_repetition_extended": q46_repetition_extended,
+        "q46_incremental_clusters": q46_incremental_clusters,
         "q47_incremental_match": q47_incremental_match,
         "q48_gopher_filter": q48_gopher_filter,
         "q49_pii_redact": q49_pii_redact,
@@ -2456,9 +2456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_merge_candidates": q82_merge_candidates,
         "q83_split_clusters": q83_split_clusters,
         "q84_containment_neardup": q84_containment_neardup,
-        "q85_incremental_clusters": q85_incremental_clusters,
+        "q85_repetition_extended": q85_repetition_extended,
         "q86_cluster_split": q86_cluster_split,
-        "q87_one_to_one_linkage": q87_one_to_one_linkage,
+        "q87_simhash_neardup": q87_simhash_neardup,
         "q88_crawl_diff": q88_crawl_diff,
         "q89_exact_deciles": q89_exact_deciles,
         "q90_hll_distinct": q90_hll_distinct,
@@ -2942,12 +2942,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ------------------------------------------------------------------
-    # q21/q22/q23 — the [core, north_rule] operators, oracled exactly.
+    # q21/q87/q23 — the [core, north_rule] near-dup/CC operators, oracled exactly.
     #
     # The LSH/banded candidate generation itself is not SQL (and need not
     # be): each operator's CONTRACT is an exact set — q21 emits all pairs
     # with true unigram Jaccard >= 0.9 (banding recall verified 1 on this
-    # corpus), q22 is pigeonhole-complete for hamming <= 3 with 4 bands,
+    # corpus), q87 (simhash) is pigeonhole-complete for hamming <= 3 with 4 bands,
     # q23's edge scores are engine-portable (md5 feature hashing, bit-equal
     # float32 vectors; DuckDB's jaro_winkler/levenshtein match ours per
     # q24) — so DuckDB recomputes each result quadratically from scratch.
@@ -2985,7 +2985,7 @@ def oracle_sql() -> dict[str, str]:
         " * (CAST(%d AS UBIGINT))" % (j + 1, 16 ** (15 - j))
         for j in range(16)
     )
-    sql["q22_simhash_neardup"] = f"""
+    sql["q87_simhash_neardup"] = f"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(
@@ -3472,7 +3472,7 @@ def oracle_sql() -> dict[str, str]:
         FROM corpus c LEFT JOIN ov o USING (doc_id)
     """
 
-    # q46 — full Gopher repetition family over line-synthesized text2
+    # q85 — full Gopher repetition family over line-synthesized text2
     # (regexp_replace is 'g' in DuckDB to match Spark's replace-all).
     _rep_gram = """
         , g{n} AS (
@@ -3485,7 +3485,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c{n} GROUP BY doc_id
         )
     """
-    sql["q46_repetition_extended"] = (
+    sql["q85_repetition_extended"] = (
         """
         WITH t2 AS (
           SELECT doc_id,
@@ -3527,7 +3527,7 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
-    # q48 — Gopher filter decision: per-row rule exprs + the q46 repetition
+    # q48 — Gopher filter decision: per-row rule exprs + the q85 repetition
     # scaffolding; undefined repetition ratios PASS; flags are exact-int
     # comparisons (mean/frac are int-sum / count divisions — IEEE-identical
     # doubles in both engines); repetition caps compare the ROUND-6 ratios.
@@ -5130,10 +5130,10 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE containment >= 0.9
     """
 
-    # q85: the incremental-update exactness contract IS "equals a full
+    # q46: the incremental-update exactness contract IS "equals a full
     # recompute" — so the oracle ignores the old/new split entirely and
     # walks reachability over the complete edge set.
-    sql["q85_incremental_clusters"] = """
+    sql["q46_incremental_clusters"] = """
         WITH RECURSIVE e0 AS (
             SELECT doc_id AS id_a, doc_id - (doc_id % 7) AS id_b
             FROM documents WHERE doc_id % 7 <> 0
@@ -5178,7 +5178,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # q87: replay iterated mutual-best exactly — 8 unrolled rounds, each
+    # q22: replay iterated mutual-best exactly — 8 unrolled rounds, each
     # a window-ranked mutual filter + anti-join retirement, generated by
     # a loop so oracle and operator share the round structure.
     _rounds = 8
@@ -5210,7 +5210,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.id_a NOT IN (SELECT id_a FROM acc{_i})
               AND r.id_b NOT IN (SELECT id_b FROM acc{_i})
         )"""
-    sql["q87_one_to_one_linkage"] = (
+    sql["q22_one_to_one_linkage"] = (
         _o2o + f" SELECT id_a, id_b, score FROM acc{_rounds}"
     )
 

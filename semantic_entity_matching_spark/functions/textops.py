@@ -28,7 +28,7 @@ def whitespace_tokens(col: str | Column) -> Column:
     on ``\\s+`` with empty tokens removed.
 
     Every operator whose tokenization must agree across the engine AND
-    with its DuckDB oracle twin (repetition stats q66/q46, Gopher flags
+    with its DuckDB oracle twin (repetition stats q66/q85, Gopher flags
     q48, n-gram census q02, DF/IDF q27, decontamination q45, span dedup
     q33) calls THIS helper — the DuckDB form is
     ``list_filter(string_split_regex(lower(trim(x)), '\\s+'), t -> t <> '')``.
