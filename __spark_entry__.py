@@ -2370,6 +2370,36 @@ def q90_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("key").alias("lang"), "distinct_est")
 
 
+def q91_stable_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent entity identity across clustering runs: yesterday's
+    resolved entities ('E'+7-grouping over the records present then) are
+    carried onto today's drifted clustering (5-grouping over ALL
+    records) by plurality member overlap, resolved into a one-to-one
+    assignment with `one_to_one_match` — the bigger fragment of a split
+    keeps the entity id, merges inherit the larger-overlap entity, and
+    unmatched components mint 'new:'+component.  Component labels are
+    unstable by construction (min-id relabels when membership shifts);
+    entity ids are what downstream golden records and splits key on."""
+    from semantic_entity_matching_spark.operators.resolve import (
+        stable_entity_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.where(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("E"), (F.col("doc_id") - F.col("doc_id") % 7).cast("string")
+        ).alias("entity_id"),
+    )
+    cur = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("component"),
+    )
+    return stable_entity_ids(prev, cur).select(
+        F.col("id").alias("doc_id"), "entity_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2462,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_crawl_diff": q88_crawl_diff,
         "q89_exact_deciles": q89_exact_deciles,
         "q90_hll_distinct": q90_hll_distinct,
+        "q91_stable_entity_ids": q91_stable_entity_ids,
     }
 
 
@@ -5178,40 +5209,76 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # q22: replay iterated mutual-best exactly — 8 unrolled rounds, each
-    # a window-ranked mutual filter + anti-join retirement, generated by
-    # a loop so oracle and operator share the round structure.
+    # q22/q91: replay iterated mutual-best exactly — unrolled rounds of
+    # window-ranked mutual filter + anti-join retirement, generated by a
+    # loop so oracle and operator share the round structure.  Every CTE
+    # is MATERIALIZED: DuckDB inlines plain CTEs, and the round chain
+    # references each one several times — un-materialized, the expression
+    # tree (and the parquet open count) grows exponentially in rounds.
+    def _mutual_best_cte(rem0_body: str, rounds: int = 8) -> str:
+        out = f"""
+        WITH rem0 AS MATERIALIZED ({rem0_body}
+        ), acc0 AS MATERIALIZED (SELECT id_a, id_b, score FROM rem0 WHERE FALSE)"""
+        for i in range(1, rounds + 1):
+            p = i - 1
+            out += f""", s{i} AS MATERIALIZED (
+            SELECT id_a, id_b, score,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY score DESC, id_b) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                                      ORDER BY score DESC, id_a) AS rb
+            FROM rem{p}
+        ), m{i} AS MATERIALIZED (
+            SELECT id_a, id_b, score FROM s{i} WHERE ra = 1 AND rb = 1
+        ), acc{i} AS MATERIALIZED (
+            SELECT * FROM acc{p} UNION ALL SELECT * FROM m{i}
+        ), rem{i} AS MATERIALIZED (
+            SELECT r.* FROM rem{p} r
+            WHERE r.id_a NOT IN (SELECT id_a FROM acc{i})
+              AND r.id_b NOT IN (SELECT id_b FROM acc{i})
+        )"""
+        return out
+
     _rounds = 8
-    _o2o = """
-        WITH rem0 AS MATERIALIZED (
+    sql["q22_one_to_one_linkage"] = (
+        _mutual_best_cte(
+            """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(((a.doc_id * 7 + b.doc_id * 13) % 97) / 97.0, 6)
                        AS score
             FROM documents a
             JOIN documents b
               ON b.doc_id IN (a.doc_id + 1, a.doc_id + 3, a.doc_id + 5)
-            WHERE a.doc_id % 2 = 0
-        ), acc0 AS MATERIALIZED (SELECT id_a, id_b, score FROM rem0 WHERE FALSE)"""
-    for _i in range(1, _rounds + 1):
-        _p = _i - 1
-        _o2o += f""", s{_i} AS MATERIALIZED (
-            SELECT id_a, id_b, score,
-                   row_number() OVER (PARTITION BY id_a
-                                      ORDER BY score DESC, id_b) AS ra,
-                   row_number() OVER (PARTITION BY id_b
-                                      ORDER BY score DESC, id_a) AS rb
-            FROM rem{_p}
-        ), m{_i} AS MATERIALIZED (
-            SELECT id_a, id_b, score FROM s{_i} WHERE ra = 1 AND rb = 1
-        ), acc{_i} AS MATERIALIZED (
-            SELECT * FROM acc{_p} UNION ALL SELECT * FROM m{_i}
-        ), rem{_i} AS MATERIALIZED (
-            SELECT r.* FROM rem{_p} r
-            WHERE r.id_a NOT IN (SELECT id_a FROM acc{_i})
-              AND r.id_b NOT IN (SELECT id_b FROM acc{_i})
-        )"""
-    sql["q22_one_to_one_linkage"] = (
-        _o2o + f" SELECT id_a, id_b, score FROM acc{_rounds}"
+            WHERE a.doc_id % 2 = 0""",
+            _rounds,
+        )
+        + f" SELECT id_a, id_b, score FROM acc{_rounds}"
+    )
+
+    # q91: overlap counts (today's components × yesterday's entities)
+    # matched 1:1 by the same unrolled mutual-best; unmatched components
+    # mint 'new:' + component.
+    sql["q91_stable_entity_ids"] = (
+        _mutual_best_cte(
+            """
+            SELECT c.comp AS id_a, p.e AS id_b, count(*)::DOUBLE AS score
+            FROM (SELECT doc_id AS id, doc_id - doc_id % 5 AS comp
+                  FROM documents) c
+            JOIN (SELECT doc_id AS id,
+                         'E' || cast(doc_id - doc_id % 7 AS VARCHAR) AS e
+                  FROM documents WHERE doc_id % 11 <> 0) p
+              ON c.id = p.id
+            GROUP BY c.comp, p.e""",
+            _rounds,
+        )
+        + f""", cur AS MATERIALIZED (
+            SELECT doc_id AS id, doc_id - doc_id % 5 AS comp FROM documents
+        )
+        SELECT cur.id AS doc_id,
+               coalesce(a.id_b, 'new:' || cast(cur.comp AS VARCHAR))
+                   AS entity_id
+        FROM cur LEFT JOIN acc{_rounds} a ON a.id_a = cur.comp
+    """
     )
 
     # q88: same deterministic snapshot mutation, same md5 fingerprints,

@@ -1062,3 +1062,62 @@ def one_to_one_match(
             f"one_to_one_match did not exhaust the pair pool in {max_rounds} rounds"
         )
     return matched
+
+
+def stable_entity_ids(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str = "id",
+    entity_col: str = "entity_id",
+    cluster_col: str = "component",
+    mint_prefix: str = "new:",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Persistent entity identity across clustering runs: component labels
+    (min-id by convention) are UNSTABLE — adding one page can relabel a
+    10^6-member cluster — but downstream consumers key golden records,
+    split assignments and caches on the ENTITY.  This maps today's
+    components onto yesterday's entity ids by member overlap:
+
+    1. overlap counts = one inner join on the record id + one hash
+       aggregate per (component, entity_id) — cost scales with records
+       shared between runs, never with the cluster-pair cross product;
+    2. components and old entities are matched ONE-TO-ONE on overlap
+       count via :func:`one_to_one_match` (greedy-equivalent,
+       deterministic ties by entity/component label) — plurality overlap
+       decides splits and merges: the bigger fragment keeps the id, the
+       smaller mints fresh;
+    3. unmatched components mint ``mint_prefix + component`` —
+       deterministic and stable for re-runs of the same day.  Callers
+       that re-mint across many generations and need global uniqueness
+       should fold a run stamp into ``mint_prefix``; inherited ids are
+       never rewritten.
+
+    ``prev`` is ``(id, entity_id)``; ``cur`` is ``(id, component)``.
+    Returns ``(id, entity_id)`` covering every current record.
+    """
+    p = prev.select(
+        F.col(id_col).alias("id"), F.col(entity_col).alias("_prev_e")
+    )
+    c = cur.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("_comp")
+    )
+    counts = (
+        c.join(p, "id")
+        .groupBy("_comp", "_prev_e")
+        .agg(F.count(F.lit(1)).cast("double").alias("_overlap"))
+    )
+    assign = one_to_one_match(
+        counts,
+        id_a="_comp",
+        id_b="_prev_e",
+        score_col="_overlap",
+        max_rounds=max_rounds,
+    ).select(F.col("id_a").alias("_comp"), F.col("id_b").alias("_e"))
+    return c.join(assign, "_comp", "left").select(
+        "id",
+        F.coalesce(
+            F.col("_e"),
+            F.concat(F.lit(mint_prefix), F.col("_comp").cast("string")),
+        ).alias(entity_col),
+    )

@@ -106,3 +106,78 @@ def test_partitioning_independence(spark):
         for r in one_to_one_match(df.repartition(16), max_rounds=40).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stable_entity_ids
+# ---------------------------------------------------------------------------
+
+def _prev(spark, rows):
+    return spark.createDataFrame(rows, "id string, entity_id string")
+
+
+def _cur(spark, rows):
+    return spark.createDataFrame(rows, "id string, component string")
+
+
+def test_stable_ids_identity_run(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        stable_entity_ids,
+    )
+
+    prev = _prev(spark, [("r1", "E1"), ("r2", "E1"), ("r3", "E2")])
+    cur = _cur(spark, [("r1", "r1"), ("r2", "r1"), ("r3", "r3")])
+    got = {r["id"]: r["entity_id"] for r in stable_entity_ids(prev, cur).collect()}
+    assert got == {"r1": "E1", "r2": "E1", "r3": "E2"}
+
+
+def test_stable_ids_split_bigger_fragment_keeps(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        stable_entity_ids,
+    )
+
+    prev = _prev(spark, [(f"r{i}", "E1") for i in range(5)])
+    # E1 splits: {r0,r1,r2} (component a) vs {r3,r4} (component b)
+    cur = _cur(
+        spark,
+        [("r0", "a"), ("r1", "a"), ("r2", "a"), ("r3", "b"), ("r4", "b")],
+    )
+    got = {r["id"]: r["entity_id"] for r in stable_entity_ids(prev, cur).collect()}
+    assert got["r0"] == got["r1"] == got["r2"] == "E1"
+    assert got["r3"] == got["r4"] == "new:b"
+
+
+def test_stable_ids_merge_takes_larger_overlap(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        stable_entity_ids,
+    )
+
+    prev = _prev(
+        spark,
+        [("r1", "E1"), ("r2", "E1"), ("r3", "E1"), ("r4", "E2"), ("r5", "E2")],
+    )
+    cur = _cur(spark, [(f"r{i}", "m") for i in range(1, 6)])
+    got = {r["id"]: r["entity_id"] for r in stable_entity_ids(prev, cur).collect()}
+    assert set(got.values()) == {"E1"}  # 3-member overlap beats 2
+
+
+def test_stable_ids_new_records_mint(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        stable_entity_ids,
+    )
+
+    prev = _prev(spark, [("r1", "E1")])
+    cur = _cur(spark, [("r1", "r1"), ("x1", "x1"), ("x2", "x1")])
+    got = {r["id"]: r["entity_id"] for r in stable_entity_ids(prev, cur).collect()}
+    assert got == {"r1": "E1", "x1": "new:x1", "x2": "new:x1"}
+
+
+def test_stable_ids_overlap_tie_breaks_to_smaller_entity(spark):
+    from semantic_entity_matching_spark.operators.resolve import (
+        stable_entity_ids,
+    )
+
+    prev = _prev(spark, [("r1", "E1"), ("r2", "E2")])
+    cur = _cur(spark, [("r1", "c"), ("r2", "c")])
+    got = {r["id"]: r["entity_id"] for r in stable_entity_ids(prev, cur).collect()}
+    assert set(got.values()) == {"E1"}
