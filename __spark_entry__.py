@@ -2400,6 +2400,37 @@ def q91_stable_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies (d=4, w=1024) queried for the
+    tokens of the first 10 docs — the mergeable heavy-hitter complement
+    to the exact census (q02): the sketch is d*w cells at ANY corpus
+    size, merges by cell-wise sum across days, and every estimate is
+    >= the true count (one-sided error).  Exact integer cells make the
+    whole thing partitioning-independent and SQL-replayable."""
+    from semantic_entity_matching_spark.functions.sketch import (
+        cms_query,
+        cms_sketch,
+    )
+    from semantic_entity_matching_spark.functions.textops import (
+        whitespace_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(whitespace_tokens("text")).alias("tok")
+    )
+    sk = cms_sketch(toks, "tok", d=4, w=1024)
+    qs = (
+        docs.where((F.col("doc_id") < 10) & F.col("text").isNotNull())
+        .select(F.explode(whitespace_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    out = cms_query(sk, qs, "tok", d=4, w=1024)
+    return out.select(
+        F.col("value").alias("tok"), F.col("est").cast("bigint").alias("est")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2493,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_exact_deciles": q89_exact_deciles,
         "q90_hll_distinct": q90_hll_distinct,
         "q91_stable_entity_ids": q91_stable_entity_ids,
+        "q92_cms_token_freq": q92_cms_token_freq,
     }
 
 
@@ -5377,6 +5409,45 @@ def oracle_sql() -> dict[str, str]:
                           THEN 256.0 * ln(256.0 / zeros)
                           ELSE raw END, 4) AS distinct_est
         FROM est
+    """
+
+    # q92: count-min sketch replayed exactly — md5('j:'||tok) 32-bit
+    # nibble-fold mod w per depth row, integer cell sums, min over rows.
+    _fold8 = " + ".join(
+        f"(instr('0123456789abcdef', substr(hh, {i}, 1)) - 1)::BIGINT"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    sql["q92_cms_token_freq"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), hashed AS MATERIALIZED (
+            SELECT md5(cast(r.j AS VARCHAR) || ':' || tok) AS hh, r.j
+            FROM toks, (SELECT unnest(range(0, 4)) AS j) r
+        ), cells AS MATERIALIZED (
+            SELECT j, col, count(*)::BIGINT AS cnt FROM (
+                SELECT j, ({_fold8}) % 1024 AS col FROM hashed
+            ) GROUP BY j, col
+        ), qtoks AS MATERIALIZED (
+            SELECT DISTINCT tok FROM (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE doc_id < 10 AND text IS NOT NULL
+            )
+        ), qhashed AS MATERIALIZED (
+            SELECT tok, r.j,
+                   md5(cast(r.j AS VARCHAR) || ':' || tok) AS hh
+            FROM qtoks, (SELECT unnest(range(0, 4)) AS j) r
+        ), qcells AS MATERIALIZED (
+            SELECT tok, j, ({_fold8}) % 1024 AS col FROM qhashed
+        )
+        SELECT q.tok, min(coalesce(c.cnt, 0))::BIGINT AS est
+        FROM qcells q LEFT JOIN cells c ON c.j = q.j AND c.col = q.col
+        GROUP BY q.tok
     """
 
     return sql

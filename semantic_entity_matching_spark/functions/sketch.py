@@ -120,3 +120,115 @@ def hll_distinct(
 ) -> DataFrame:
     """Per-key approximate distinct count: registers → estimate."""
     return hll_estimate(hll_registers(df, key_col, value_col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+def _cms_col(value, j: int, w: int):
+    """Column index for depth row ``j``: 32-bit md5 nibble-fold of
+    ``"j:" || value`` mod ``w`` — engine-portable, replayable in SQL."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), value.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % w).cast(
+        "int"
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 16384,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the value
+    stream: ``(row, col, cnt)`` cells, ``d*w`` of them total regardless
+    of corpus size.  Cells merge by SUM (:func:`cms_merge`) — per-day
+    sketches roll into all-time frequency estimates, the same
+    incremental story as the HLL registers.  Exact integer sums, so the
+    sketch (and every estimate) is independent of partitioning.
+
+    Build cost: one ``d``-way explode (narrow) into ONE map-side-
+    combinable hash aggregate; NULL values are excluded.
+    ``weight_col`` accumulates weighted counts (e.g. token counts
+    per doc) instead of 1 per row.
+    """
+    if d < 1 or w < 1:
+        raise ValueError(f"d and w must be >= 1, got d={d} w={w}")
+    weight = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    v = F.col(value_col)
+    cells = df.where(v.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_col(v, j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rc"),
+        weight.alias("_w"),
+    )
+    return (
+        cells.select("rc.row", "rc.col", "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise SUM merge — sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    exactly."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 16384,
+) -> DataFrame:
+    """Estimated frequency per queried value: min over the ``d`` cells —
+    always >= the true count (one-sided error, the CMS guarantee), with
+    overestimate probability shrinking exponentially in ``d``.
+
+    The sketch is ``d*w`` rows at ANY corpus size, so it broadcasts
+    legitimately; querying is one equi-join on (row, col) after a
+    ``d``-way explode of the query values — the corpus is never touched.
+    Values absent from the stream estimate as 0 (cells may be absent
+    from the sparse cell table; they count as 0).
+    """
+    if d < 1 or w < 1:
+        raise ValueError(f"d and w must be >= 1, got d={d} w={w}")
+    v = F.col(value_col)
+    probes = queries.where(v.isNotNull()).select(
+        v.alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_col(v, j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select("value", "rc.row", "rc.col")
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -105,3 +105,90 @@ def test_plan_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_mods():
+    from semantic_entity_matching_spark.functions.sketch import (
+        cms_merge,
+        cms_query,
+        cms_sketch,
+    )
+
+    return cms_sketch, cms_merge, cms_query
+
+
+def _stream(spark, n=4000, vocab=60):
+    # Zipf-ish: value v appears ~ n/(v+1) times
+    rows = []
+    for v in range(vocab):
+        rows += [(f"t{v:02d}",)] * max(1, n // ((v + 1) * 10))
+    return spark.createDataFrame(rows, "v string"), {
+        f"t{v:02d}": max(1, n // ((v + 1) * 10)) for v in range(vocab)
+    }
+
+
+def test_cms_one_sided_and_tight_at_width(spark):
+    cms_sketch, _, cms_query = _cms_mods()
+    df, truth = _stream(spark)
+    qs = spark.createDataFrame([(k,) for k in truth], "v string")
+    # wide sketch: few collisions -> exact for most, never under
+    sk = cms_sketch(df, "v", d=4, w=4096)
+    got = {r["value"]: r["est"] for r in cms_query(sk, qs, "v", d=4, w=4096).collect()}
+    assert set(got) == set(truth)
+    assert all(got[k] >= c for k, c in truth.items())
+    assert sum(got[k] == c for k, c in truth.items()) >= len(truth) - 2
+
+
+def test_cms_narrow_width_still_one_sided(spark):
+    cms_sketch, _, cms_query = _cms_mods()
+    df, truth = _stream(spark)
+    qs = spark.createDataFrame([(k,) for k in truth], "v string")
+    sk = cms_sketch(df, "v", d=3, w=16)  # heavy collisions
+    got = {r["value"]: r["est"] for r in cms_query(sk, qs, "v", d=3, w=16).collect()}
+    assert all(got[k] >= c for k, c in truth.items())
+
+
+def test_cms_merge_equals_whole_and_absent_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    cms_sketch, cms_merge, cms_query = _cms_mods()
+    df, _ = _stream(spark, n=1000, vocab=20)
+    a = df.where(F.md5("v") < "8")
+    b = df.where(F.md5("v") >= "8")
+    whole = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(df, "v", d=4, w=256).collect()
+    }
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_merge(
+            cms_sketch(a, "v", d=4, w=256), cms_sketch(b, "v", d=4, w=256)
+        ).collect()
+    }
+    assert whole == merged
+    qs = spark.createDataFrame([("never-seen-value",)], "v string")
+    sk = cms_sketch(df, "v", d=4, w=65536)
+    est = cms_query(sk, qs, "v", d=4, w=65536).collect()[0]["est"]
+    assert est == 0
+
+
+def test_cms_weighted(spark):
+    cms_sketch, _, cms_query = _cms_mods()
+    rows = [("a", 5), ("a", 7), ("b", 1)]
+    df = spark.createDataFrame(rows, "v string, w bigint")
+    qs = spark.createDataFrame([("a",), ("b",)], "v string")
+    sk = cms_sketch(df, "v", d=4, w=1024, weight_col="w")
+    got = {r["value"]: r["est"] for r in cms_query(sk, qs, "v", d=4, w=1024).collect()}
+    assert got == {"a": 12, "b": 1}
+
+
+def test_cms_validation(spark):
+    cms_sketch, cms_merge, _ = _cms_mods()
+    with pytest.raises(ValueError):
+        cms_sketch(None, "v", d=0)
+    with pytest.raises(ValueError):
+        cms_merge()
