@@ -76,12 +76,21 @@ class ReferenceIndex:
 
 
 def match_batch(
-    incoming_pages: DataFrame, index: ReferenceIndex
+    incoming_pages: DataFrame, index: ReferenceIndex, one_to_one: bool = False
 ) -> DataFrame:
     """One micro-batch: -> (id, matched_id, score) — ``matched_id`` null
     when no reference entity reaches the match threshold.  Exactly the
     flagship's scoring semantics (same cutoffs, same deterministic
-    tiebreak: highest score, then smallest reference id)."""
+    tiebreak: highest score, then smallest reference id).
+
+    ``one_to_one=True`` additionally constrains each REFERENCE entity to
+    at most one incoming page per batch (the correct semantics when both
+    sides are deduplicated: two incoming pages claiming one reference is
+    an evidence conflict, not two matches) — the qualified pair set is
+    resolved by
+    :func:`~semantic_entity_matching_spark.operators.resolve.one_to_one_match`
+    (greedy-equivalent; a losing page falls back to its next-best
+    qualified reference before going unmatched)."""
     cfg = index.config
     id_col = cfg.id_col
     inc = prepare_records(incoming_pages, cfg, index.provider)
@@ -134,26 +143,44 @@ def match_batch(
         score_col = F.round(score_col, cfg.score_round)
     from pyspark.sql import Window
 
-    best = (
+    qualified = (
         scored.where(jw_upper >= F.lit(cfg.match_threshold - 1e-6))
         .withColumn("jaro_winkler", jaro_winkler_udf(F.col("_ta"), F.col("_tb")))
         .withColumn("score", score_col)
         .where(F.col("score") >= F.lit(cfg.match_threshold))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("_in").orderBy(
-                    F.desc("score"), F.asc("_ref")
-                )
-            ),
+    )
+    if one_to_one:
+        from semantic_entity_matching_spark.operators.resolve import (
+            one_to_one_match,
         )
-        .where(F.col("_rk") == 1)
-        .select(
-            F.col("_in").alias(id_col),
-            F.col("_ref").alias("matched_id"),
+
+        best = one_to_one_match(
+            qualified.select("_in", "_ref", "score"),
+            id_a="_in",
+            id_b="_ref",
+            score_col="score",
+        ).select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("matched_id"),
             "score",
         )
-    )
+    else:
+        best = (
+            qualified.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_in").orderBy(
+                        F.desc("score"), F.asc("_ref")
+                    )
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .select(
+                F.col("_in").alias(id_col),
+                F.col("_ref").alias("matched_id"),
+                "score",
+            )
+        )
     all_in = inc.select(F.col(id_col))
     return all_in.join(best, id_col, "left")
 

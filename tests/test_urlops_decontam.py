@@ -261,3 +261,50 @@ def test_filter_blocked_urls_label_boundaries_and_nulls(spark):
         r["doc_id"] for r in filter_blocked_urls(df, bl).collect()
     )
     assert kept == [4, 5, 7, 8, 9]
+
+
+def test_match_batch_one_to_one_resolves_reference_conflicts(spark):
+    """one_to_one=True: each reference entity is claimed by at most one
+    incoming page; the loser falls back to its next-best qualified
+    reference, and pages with no remaining reference go unmatched.
+    Synthetic near-dup pages force two incoming rows onto one reference."""
+    from semantic_entity_matching_spark.plans.pipeline import MatchConfig
+    from semantic_entity_matching_spark.streaming.incremental_match import (
+        ReferenceIndex,
+        match_batch,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    ref_rows = [(100, base, "en")]
+    inc_rows = [
+        (1, base, "en"),                      # exact copy of ref 100
+        (2, base + " extra", "en"),           # near-dup of ref 100
+        (3, "totally unrelated page text", "en"),
+    ]
+    cfg = MatchConfig(
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+        score_round=6,
+    )
+    schema = "doc_id bigint, text string, lang string"
+    index = ReferenceIndex(spark.createDataFrame(ref_rows, schema), cfg)
+    incoming = spark.createDataFrame(inc_rows, schema)
+
+    plain = {
+        r["doc_id"]: r["matched_id"]
+        for r in match_batch(incoming, index).collect()
+    }
+    o2o = {
+        r["doc_id"]: r["matched_id"]
+        for r in match_batch(incoming, index, one_to_one=True).collect()
+    }
+    # 1:N: both near-dups claim the same reference
+    assert plain[1] == 100 and plain[2] == 100 and plain[3] is None
+    # 1:1: the exact copy (higher score) keeps it; the other goes unmatched
+    assert o2o[1] == 100 and o2o[2] is None and o2o[3] is None
+    assert set(o2o) == {1, 2, 3}
+    index.unpersist()
