@@ -2431,6 +2431,43 @@ def q92_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 production loop end-to-end: the corpus splits by md5
+    into a 'yesterday' majority (clustered by the flagship batch
+    pipeline) and a 'today' delta folded in by run_incremental
+    (new-vs-reference edges via the blocked+scored index join, new-vs-new
+    edges via the flagship on the delta alone, update_components for the
+    clustering).  The oracle is the UNSPLIT q23 CTE chain — the
+    from-scratch full recompute — so a green row proves the incremental
+    composition is byte-identical to re-running the whole pipeline, at
+    delta cost."""
+    from semantic_entity_matching_spark.plans.incremental import (
+        run_incremental,
+    )
+    from semantic_entity_matching_spark.plans.pipeline import (
+        MatchConfig,
+        run_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    config = MatchConfig(
+        id_col="doc_id",
+        text_col="text",
+        extract_cols=("doc_id", "text", "lang"),
+        score_round=6,
+    )
+    day1 = docs.where(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        < 160
+    )
+    day2 = docs.subtract(day1)
+    base = run_pipeline(day1, config)
+    inc = run_incremental(day1, base.clusters, day2, config)
+    return inc.clusters.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2525,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_hll_distinct": q90_hll_distinct,
         "q91_stable_entity_ids": q91_stable_entity_ids,
         "q92_cms_token_freq": q92_cms_token_freq,
+        "q93_incremental_pipeline": q93_incremental_pipeline,
     }
 
 
@@ -5449,5 +5487,11 @@ def oracle_sql() -> dict[str, str]:
         FROM qcells q LEFT JOIN cells c ON c.j = q.j AND c.col = q.col
         GROUP BY q.tok
     """
+
+    # q93: the incremental day-2 loop's oracle is the UNSPLIT flagship
+    # recompute — identical to q23's CTE chain.  Green = the incremental
+    # composition (batch day1 + delta day2) reproduces the from-scratch
+    # clustering byte-for-byte.
+    sql["q93_incremental_pipeline"] = sql["q23_entity_clusters"]
 
     return sql

@@ -75,6 +75,28 @@ class ReferenceIndex:
         self.records.unpersist()
 
 
+def match_edges(
+    incoming_pages: DataFrame, index: ReferenceIndex
+) -> DataFrame:
+    """EVERY qualifying (incoming, reference) edge above the match
+    threshold — not just the best per incoming — as
+    ``(id_a=incoming id, id_b=reference id, score)``.
+
+    This is the edge set incremental CLUSTERING needs: a new page
+    scoring past the threshold against members of TWO different old
+    components is evidence those components merge, which best-per-page
+    would silently drop.  Feed the result (with the new-vs-new pipeline
+    edges) to
+    :func:`~semantic_entity_matching_spark.operators.cluster.update_components`.
+    """
+    qualified = _qualified_pairs(incoming_pages, index)
+    return qualified.select(
+        F.col("_in").alias("id_a"),
+        F.col("_ref").alias("id_b"),
+        "score",
+    )
+
+
 def match_batch(
     incoming_pages: DataFrame, index: ReferenceIndex, one_to_one: bool = False
 ) -> DataFrame:
@@ -91,6 +113,57 @@ def match_batch(
     :func:`~semantic_entity_matching_spark.operators.resolve.one_to_one_match`
     (greedy-equivalent; a losing page falls back to its next-best
     qualified reference before going unmatched)."""
+    cfg = index.config
+    id_col = cfg.id_col
+    qualified = _qualified_pairs(incoming_pages, index)
+    if one_to_one:
+        from semantic_entity_matching_spark.operators.resolve import (
+            one_to_one_match,
+        )
+
+        best = one_to_one_match(
+            qualified.select("_in", "_ref", "score"),
+            id_a="_in",
+            id_b="_ref",
+            score_col="score",
+        ).select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("matched_id"),
+            "score",
+        )
+    else:
+        from pyspark.sql import Window
+
+        best = (
+            qualified.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_in").orderBy(
+                        F.desc("score"), F.asc("_ref")
+                    )
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .select(
+                F.col("_in").alias(id_col),
+                F.col("_ref").alias("matched_id"),
+                "score",
+            )
+        )
+    all_in = prepare_records(incoming_pages, cfg, index.provider).select(
+        F.col(id_col)
+    )
+    return all_in.join(best, id_col, "left")
+
+
+def _qualified_pairs(
+    incoming_pages: DataFrame, index: ReferenceIndex
+) -> DataFrame:
+    """Shared scoring core: blocked candidate pairs between the incoming
+    batch and the reference index, scored through the flagship cascade
+    (cosine cutoff → Levenshtein → JW upper-bound prune → exact JW →
+    blend → threshold).  Returns ``(_in, _ref, score)`` — every pair at
+    or above ``match_threshold``."""
     cfg = index.config
     id_col = cfg.id_col
     inc = prepare_records(incoming_pages, cfg, index.provider)
@@ -141,48 +214,13 @@ def match_batch(
     )
     if cfg.score_round is not None:
         score_col = F.round(score_col, cfg.score_round)
-    from pyspark.sql import Window
-
-    qualified = (
+    return (
         scored.where(jw_upper >= F.lit(cfg.match_threshold - 1e-6))
         .withColumn("jaro_winkler", jaro_winkler_udf(F.col("_ta"), F.col("_tb")))
         .withColumn("score", score_col)
         .where(F.col("score") >= F.lit(cfg.match_threshold))
+        .select("_in", "_ref", "score")
     )
-    if one_to_one:
-        from semantic_entity_matching_spark.operators.resolve import (
-            one_to_one_match,
-        )
-
-        best = one_to_one_match(
-            qualified.select("_in", "_ref", "score"),
-            id_a="_in",
-            id_b="_ref",
-            score_col="score",
-        ).select(
-            F.col("id_a").alias(id_col),
-            F.col("id_b").alias("matched_id"),
-            "score",
-        )
-    else:
-        best = (
-            qualified.withColumn(
-                "_rk",
-                F.row_number().over(
-                    Window.partitionBy("_in").orderBy(
-                        F.desc("score"), F.asc("_ref")
-                    )
-                ),
-            )
-            .where(F.col("_rk") == 1)
-            .select(
-                F.col("_in").alias(id_col),
-                F.col("_ref").alias("matched_id"),
-                "score",
-            )
-        )
-    all_in = inc.select(F.col(id_col))
-    return all_in.join(best, id_col, "left")
 
 
 def incremental_match_stream(
