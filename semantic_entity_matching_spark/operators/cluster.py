@@ -220,4 +220,8 @@ def update_components(
             .withColumn("component", F.col("id"))
         )
         out = out.unionByName(singletons)
-    return out
+    # pin (id, component) column ORDER: the anti-join above moves its key
+    # first, and positional consumers (exceptAll, parquet appends to an
+    # existing checkpoint table) must see the same layout as
+    # connected_components / clusters_from_pairs
+    return out.select("id", "component")

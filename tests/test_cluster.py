@@ -202,3 +202,19 @@ def test_update_new_node_joins_old_component(spark):
         ).collect()
     }
     assert got == {"m": "m", "n": "m", "zz": "m"}
+
+
+def test_update_components_column_order_pinned(spark):
+    from semantic_entity_matching_spark.operators.cluster import (
+        update_components,
+    )
+
+    base = _assign(spark, [("a", "b")])
+    out = update_components(
+        base,
+        _edges_df(spark, [("c", "d")]),
+        new_ids=spark.createDataFrame([("e",)], "id string"),
+    )
+    # positional consumers (exceptAll, parquet appends) need the same
+    # layout as connected_components
+    assert out.columns == ["id", "component"]

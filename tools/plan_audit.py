@@ -504,6 +504,81 @@ def main() -> None:
         else "a broadcast, Window or Cartesian leaked into the q83 plan",
     )
 
+    # 20. cluster-aware split: ONE codegen CASE over an existing column —
+    # zero exchanges, zero Python.  A shuffle here would mean the split
+    # re-partitions a 10^12-row corpus for a map-only stamp.
+    from semantic_entity_matching_spark.operators.sample import (
+        cluster_split,
+    )
+
+    docs_cs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("component")
+    )
+    e_cs = explained_of(
+        cluster_split(docs_cs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    ).lower()
+    ok_cs = "exchange" not in e_cs and "python" not in e_cs
+    check(
+        "cluster_split_zero_exchange",
+        ok_cs,
+        "split stamp is one codegen CASE — no Exchange, no Python"
+        if ok_cs
+        else "cluster_split plan contains an Exchange or Python node",
+    )
+
+    # 21. sketches (HLL + CMS) build as pure-JVM hash aggregates: no
+    # Python eval node, no Window, no Cartesian; partial aggregation
+    # (map-side combine) present before the one register/cell shuffle.
+    from semantic_entity_matching_spark.functions.sketch import (
+        cms_sketch,
+        hll_distinct,
+    )
+
+    docs_sk = spark.read.parquet(f"{SF}/documents.parquet")
+    e_hll = explained_of(hll_distinct(docs_sk, "lang", "text", p=8)).lower()
+    toks_sk = docs_sk.where(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    )
+    e_cms = explained_of(cms_sketch(toks_sk, "tok", d=4, w=1024)).lower()
+    ok_sk = all(
+        ("python" not in e) and ("window" not in e)
+        and ("cartesianproduct" not in e) and ("partial" in e)
+        for e in (e_hll, e_cms)
+    )
+    check(
+        "sketches_jvm_partial_agg",
+        ok_sk,
+        "HLL/CMS build = JVM-only hash aggregates with map-side combine"
+        if ok_sk
+        else "a sketch plan grew a Python/Window/Cartesian node or lost partial agg",
+    )
+
+    # 22. incremental CC update: the delta fold touches the previous
+    # assignment with semi/anti joins only — no Cartesian, no Window, and
+    # no broadcast of the corpus-cardinality assignment table.
+    from semantic_entity_matching_spark.operators.cluster import (
+        update_components,
+    )
+
+    prev_a = docs_cs.select(
+        F.col("doc_id").alias("id"), F.col("component")
+    )
+    delta_e = docs_cs.limit(20).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 5).alias("id_b")
+    )
+    e_uc = explained_of(update_components(prev_a, delta_e)).lower()
+    ok_uc = (
+        "cartesianproduct" not in e_uc
+        and "window" not in e_uc
+    )
+    check(
+        "update_components_join_only",
+        ok_uc,
+        "delta fold = semi/anti joins + CC supersteps; no Window/Cartesian"
+        if ok_uc
+        else "update_components plan grew a Window or Cartesian node",
+    )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
