@@ -2468,6 +2468,37 @@ def q93_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit + suppression over quasi-identifiers
+    (lang × length-bucket): regex PII scrubbing removes DIRECT
+    identifiers; re-identification risk lives in rare quasi-identifier
+    COMBINATIONS, a grouping property.  Rows in anonymity sets smaller
+    than k=3 get their quasi columns suppressed to typed NULLs (rows
+    retained — the payload stays trainable).  NULL quasi-values group
+    with themselves (null-safe join), matching the threat model.  Scale
+    shape: one hash aggregate to the quasi-DOMAIN table + one null-safe
+    hash join back; no corpus window."""
+    from semantic_entity_matching_spark.functions.pii import (
+        suppress_below_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    quasi = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.length("text") / 200).cast("bigint").alias("len_bucket"),
+    )
+    out = suppress_below_k(quasi, ["lang", "len_bucket"], k=3)
+    return out.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        F.col("anonymity_set_size").cast("bigint").alias(
+            "anonymity_set_size"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2563,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_stable_entity_ids": q91_stable_entity_ids,
         "q92_cms_token_freq": q92_cms_token_freq,
         "q93_incremental_pipeline": q93_incremental_pipeline,
+        "q94_k_anonymity": q94_k_anonymity,
     }
 
 
@@ -5493,5 +5525,26 @@ def oracle_sql() -> dict[str, str]:
     # composition (batch day1 + delta day2) reproduces the from-scratch
     # clustering byte-for-byte.
     sql["q93_incremental_pipeline"] = sql["q23_entity_clusters"]
+
+    # q94: k-anonymity — same quasi bucketing, null-safe group join,
+    # typed-NULL suppression below k=3.
+    sql["q94_k_anonymity"] = """
+        WITH q AS (
+            SELECT doc_id, lang,
+                   CAST(floor(length(text) / 200) AS BIGINT) AS len_bucket
+            FROM documents
+        ), s AS (
+            SELECT lang, len_bucket, count(*) AS k
+            FROM q GROUP BY lang, len_bucket
+        )
+        SELECT q.doc_id,
+               CASE WHEN s.k < 3 THEN NULL ELSE q.lang END AS lang,
+               CASE WHEN s.k < 3 THEN NULL ELSE q.len_bucket END
+                   AS len_bucket,
+               s.k::BIGINT AS anonymity_set_size
+        FROM q JOIN s
+          ON q.lang IS NOT DISTINCT FROM s.lang
+         AND q.len_bucket IS NOT DISTINCT FROM s.len_bucket
+    """
 
     return sql

@@ -91,3 +91,68 @@ def with_pii_stats(
     if redacted_col:
         df = df.withColumn(redacted_col, redact_pii(text_col))
     return df
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+def anonymity_set_sizes(df, quasi_cols: list) -> "DataFrame":
+    """Annotate every row with the size of its anonymity set — the number
+    of rows sharing its quasi-identifier combination (Sweeney 2002's
+    k-anonymity measure).  Regex PII scrubbing (above) removes DIRECT
+    identifiers; re-identification risk lives in quasi-identifier
+    combinations (language × length-bucket × source × …), which is a
+    GROUPING property, not a pattern.
+
+    NULL is a legitimate quasi-value and groups with itself (null-safe
+    struct grouping), matching the re-identification threat model: "the
+    rows with lang NULL and source X" is an anonymity set like any other.
+
+    Scale shape: one map-side-combinable hash aggregate to the distinct
+    quasi-combination table (bounded by the quasi DOMAIN, not the
+    corpus), then one hash join back on the quasi key.  No window over
+    corpus rows.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    # rename the quasi key on the aggregate side: `sizes` derives from
+    # `df`, and Spark's self-join ambiguity check rejects same-name
+    # column references across the two lineages
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("anonymity_set_size")
+    )
+    for c in quasi_cols:
+        sizes = sizes.withColumnRenamed(c, f"_q_{c}")
+    on = [
+        F.col(c).eqNullSafe(F.col(f"_q_{c}")) for c in quasi_cols
+    ]
+    joined = df.join(sizes, on, "inner")
+    return joined.select(*df.columns, "anonymity_set_size")
+
+
+def suppress_below_k(df, quasi_cols: list, k: int, id_cols: list | None = None):
+    """Enforce k-anonymity by suppression: rows whose anonymity set is
+    smaller than ``k`` get their quasi-identifier columns NULLed (typed
+    nulls — schema unchanged); everything else passes through untouched.
+    ``id_cols`` restricts the output to listed columns plus the quasi set
+    (project-then-suppress).  Suppression, not dropping: the row's
+    non-identifying payload stays usable for training.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    annotated = anonymity_set_sizes(df, quasi_cols)
+    keep = list(id_cols) + list(quasi_cols) if id_cols else df.columns
+    small = F.col("anonymity_set_size") < k
+    out_cols = []
+    for c in keep:
+        if c in quasi_cols:
+            typ = dict(df.dtypes)[c]
+            out_cols.append(
+                F.when(small, F.lit(None).cast(typ))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return annotated.select(*out_cols, F.col("anonymity_set_size"))

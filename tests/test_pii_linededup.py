@@ -147,3 +147,47 @@ def test_duplicate_span_stats_planted(spark):
         ).collect()
     }
     assert out_md5 == out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+def test_anonymity_set_sizes_and_null_groups(spark):
+    from semantic_entity_matching_spark.functions.pii import (
+        anonymity_set_sizes,
+    )
+
+    rows = [
+        (1, "en", "web"), (2, "en", "web"), (3, "en", "web"),
+        (4, "fr", "web"),
+        (5, None, "web"), (6, None, "web"),
+    ]
+    df = spark.createDataFrame(rows, "id int, lang string, source string")
+    got = {
+        r["id"]: r["anonymity_set_size"]
+        for r in anonymity_set_sizes(df, ["lang", "source"]).collect()
+    }
+    # NULL lang is its own anonymity set of 2 (null-safe grouping)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 1, 5: 2, 6: 2}
+
+
+def test_suppress_below_k(spark):
+    import pytest as _pytest
+
+    from semantic_entity_matching_spark.functions.pii import (
+        suppress_below_k,
+    )
+
+    rows = [(1, "en", 10), (2, "en", 10), (3, "fr", 99)]
+    df = spark.createDataFrame(rows, "id int, lang string, bucket int")
+    out = {
+        r["id"]: (r["lang"], r["bucket"], r["anonymity_set_size"])
+        for r in suppress_below_k(df, ["lang", "bucket"], k=2).collect()
+    }
+    assert out[1] == ("en", 10, 2) and out[2] == ("en", 10, 2)
+    assert out[3] == (None, None, 1)  # typed nulls, row retained
+    with _pytest.raises(ValueError):
+        suppress_below_k(df, ["lang"], k=0)
+    with _pytest.raises(ValueError):
+        suppress_below_k(df, [], k=2)
