@@ -2537,6 +2537,27 @@ def q95_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    100 docs sampled ∝ text length — the quality-weighted corpus-
+    selection primitive, deterministic and engine-exact (u from the md5
+    fold, key = ln(u)/w, no pow; ties by id).  The sort+limit compiles
+    to TakeOrderedAndProject: per-partition top-n, never a global
+    sort."""
+    from semantic_entity_matching_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", "lang", F.length("text").cast("double").alias("wt")
+    )
+    out = weighted_sample(lens, "doc_id", "wt", 100)
+    return out.select(
+        "doc_id", "lang", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2634,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_incremental_pipeline": q93_incremental_pipeline,
         "q94_k_anonymity": q94_k_anonymity,
         "q95_scd2_history": q95_scd2_history,
+        "q96_weighted_sample": q96_weighted_sample,
     }
 
 
@@ -5616,6 +5638,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT s2.doc_id, s2.fp, 2000::BIGINT, NULL::BIGINT
         FROM s2 LEFT JOIN s1 ON s1.doc_id = s2.doc_id
         WHERE s1.doc_id IS NULL OR s1.fp <> s2.fp
+    """
+
+    # q96: A-ES weighted sample — same md5 32-bit fold (never 0), same
+    # ln(u)/w key, top-100 with id tiebreak.
+    _fold8d = " + ".join(
+        "(instr('0123456789abcdef',"
+        f" substr(md5(cast(doc_id AS VARCHAR)), {i}, 1)) - 1)::BIGINT"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    sql["q96_weighted_sample"] = f"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   length(text)::DOUBLE AS wt,
+                   (({_fold8d}) + 1) / 4294967297.0 AS u
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        )
+        SELECT doc_id, lang, round(ln(u) / wt, 6) AS sample_key
+        FROM w
+        ORDER BY ln(u) / wt DESC, doc_id
+        LIMIT 100
     """
 
     return sql

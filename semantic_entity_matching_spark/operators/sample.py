@@ -289,3 +289,52 @@ def cluster_split(
         out_col,
         F.when(F.col(cluster_col).isNull(), F.lit(None).cast("string")).otherwise(chain),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    IPL 2006): each row draws ``u`` from its md5 hash and ranks by
+    ``ln(u) / w`` — the top ``n`` keys are a weight-proportional sample,
+    exactly (inclusion probability proportional to weight, one pass, no
+    rejection loop).  The quality-weighted corpus-selection step: sample
+    pretraining pages ∝ quality score without materializing per-row
+    randomness.
+
+    Deterministic and engine-portable: ``u = (fold32(md5(salt||id)) + 1)
+    / (2^32 + 1)`` (never 0), the key uses ``ln`` only (no ``pow`` —
+    ``ln(u)/w`` is a monotone transform of the textbook ``u^(1/w)``),
+    ties break by id.  Same id ⇒ same draw across runs and engines;
+    ``salt`` re-draws.
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    inclusion probability in the A-ES model).
+
+    Scale shape: the sort+limit compiles to ``TakeOrderedAndProject`` —
+    per-partition top-n then a driver merge of ``n × partitions`` rows;
+    no global sort, no shuffle of the corpus (pytest-pinned).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float((1 << 32) + 1)
+    w = F.col(weight_col).cast("double")
+    base = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "sample_key", F.log(u) / w
+    )
+    return base.orderBy(F.desc("sample_key"), F.col(id_col)).limit(n)

@@ -100,3 +100,83 @@ def test_validation():
 def test_plan_is_single_stage(spark):
     plan = cluster_split(_corpus(spark), FR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES)
+# ---------------------------------------------------------------------------
+
+def _wdf(spark):
+    heavy = [(f"h{i:03d}", 1000.0) for i in range(100)]
+    light = [(f"l{i:03d}", 1.0) for i in range(100)]
+    return spark.createDataFrame(heavy + light, "id string, w double")
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from semantic_entity_matching_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    df = _wdf(spark)
+    rows = [(r["id"], r["w"]) for r in df.collect()]
+
+    def key(i, w, salt=""):
+        u = (int(hashlib.md5((salt + i).encode()).hexdigest()[:8], 16) + 1) / (
+            2**32 + 1
+        )
+        return math.log(u) / w
+
+    want = {i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:50]}
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 50).collect()}
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_and_salt_redraws(spark):
+    from semantic_entity_matching_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    df = _wdf(spark)
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 50).collect()}
+    heavy = sum(1 for i in got if i.startswith("h"))
+    assert heavy >= 45  # 1000:1 weights -> overwhelmingly heavy items
+    salted = {
+        r["id"] for r in weighted_sample(df, "id", "w", 50, salt="s1").collect()
+    }
+    assert salted != got
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    import pytest as _pytest
+
+    from semantic_entity_matching_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    rows = [("a", 5.0), ("b", 0.0), ("c", -1.0), ("d", None)]
+    df = spark.createDataFrame(rows, "id string, w double")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {"a"}
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", 0)
+
+
+def test_weighted_sample_plan_and_partitioning(spark):
+    from semantic_entity_matching_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    df = _wdf(spark)
+    plan = (
+        weighted_sample(df, "id", "w", 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+    a = {r["id"] for r in weighted_sample(df.repartition(1), "id", "w", 20).collect()}
+    b = {r["id"] for r in weighted_sample(df.repartition(16), "id", "w", 20).collect()}
+    assert a == b
