@@ -101,6 +101,14 @@ def scd2_upsert(
     decade of history rides a filter, not a shuffle); the open slice —
     bounded by the live corpus size — meets the snapshot in ONE
     full-outer hash join on the unique id, same as :func:`crawl_diff`.
+    At 10^12 docs, store the history partitioned on ``valid_to IS
+    NULL`` (live vs closed partitions in the table layout): the upsert
+    then reads and rewrites ONLY the live partition and the closed
+    pass-through is partition metadata, not a scan — writing the result
+    back with this function's output as a full-history union is correct
+    at any scale but re-materializes closed rows; the partitioned form
+    is the production write path (same discipline as the S6 sink's
+    idempotent MERGE).
     """
     fp_expr = (
         F.col(fingerprint_col)
