@@ -2558,6 +2558,55 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRIPT_SNIPPETS = (
+    "hello world",
+    "привет мир",
+    "你好世界",
+    "γειά σου",
+    "مرحبا",
+    "שלום",
+    "नमस्ते",
+    "안녕하세요",
+)
+
+
+def q97_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling for multilingual corpus routing: per-
+    script character counts + the dominant script, over text with a
+    deterministic multilingual snippet planted per doc (the raw corpus
+    is ASCII — unplanted, the non-Latin branches would verify nothing).
+    Counts use explicit code-point RANGES, not \\p{{script=...}} names,
+    so Java regex and RE2/DuckDB agree independent of their Unicode
+    table versions; the dominant-script CASE chain has a fixed
+    documented precedence.  Pure codegen — zero shuffle, zero Python."""
+    from semantic_entity_matching_spark.functions.textops import (
+        with_script_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), snip).alias(
+            "_txt"
+        ),
+    )
+    out = with_script_profile(base, "_txt")
+    from semantic_entity_matching_spark.functions.textops import SCRIPT_RANGES
+
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"n_{n}").cast("bigint").alias(f"n_{n}")
+            for n, _ in SCRIPT_RANGES
+        ],
+        "script",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2656,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_k_anonymity": q94_k_anonymity,
         "q95_scd2_history": q95_scd2_history,
         "q96_weighted_sample": q96_weighted_sample,
+        "q97_script_profile": q97_script_profile,
     }
 
 
@@ -5660,6 +5710,53 @@ def oracle_sql() -> dict[str, str]:
         FROM w
         ORDER BY ln(u) / wt DESC, doc_id
         LIMIT 100
+    """
+
+    # q97: script profile — the Spark patterns use Java \uXXXX escapes;
+    # RE2 wants literal characters, so convert the escapes for the twin.
+    # Counting = len(regexp_extract_all), same overlap-free semantics.
+    import re as _re97
+
+    from semantic_entity_matching_spark.functions.textops import (
+        SCRIPT_RANGES,
+    )
+
+    def _re2_class(pat: str) -> str:
+        return _re97.sub(
+            r"\\u([0-9A-Fa-f]{4})",
+            lambda m: chr(int(m.group(1), 16)),
+            pat,
+        )
+
+    _snips = ", ".join(f"'{s}'" for s in _SCRIPT_SNIPPETS)
+    _cnt_cols = ",\n                   ".join(
+        f"len(regexp_extract_all(_txt, '{_re2_class(p)}'))::BIGINT"
+        f" AS n_{n}"
+        for n, p in SCRIPT_RANGES
+    )
+    _greatest = ", ".join(f"n_{n}" for n, _ in SCRIPT_RANGES)
+    _dom_chain = "\n                    ".join(
+        f"WHEN n_{n} = _top THEN '{n}'" for n, _ in SCRIPT_RANGES
+    )
+    sql["q97_script_profile"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' ' ||
+                   [{_snips}][(doc_id % 8)::INT + 1] AS _txt
+            FROM documents
+        ), counted AS (
+            SELECT doc_id,
+                   {_cnt_cols}
+            FROM base
+        ), topped AS (
+            SELECT *, greatest({_greatest}) AS _top FROM counted
+        )
+        SELECT doc_id,
+               {_greatest},
+               CASE WHEN _top IS NULL OR _top = 0 THEN NULL
+                    {_dom_chain}
+               END AS script
+        FROM topped
     """
 
     return sql

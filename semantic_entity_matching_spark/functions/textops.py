@@ -1100,3 +1100,60 @@ def hashed_linear_score(
     if score_round is not None:
         out = F.round(out, score_round)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling — multilingual corpus routing
+# ---------------------------------------------------------------------------
+
+# Explicit code-point RANGES, not \p{script=...} names: script-name
+# classes depend on each engine's Unicode table version; literal ranges
+# count identically in Java regex, RE2, and DuckDB forever.
+SCRIPT_RANGES = (
+    ("latin", "[A-Za-z\\u00C0-\\u024F]"),
+    ("cyrillic", "[\\u0400-\\u04FF]"),
+    ("greek", "[\\u0370-\\u03FF]"),
+    ("arabic", "[\\u0600-\\u06FF]"),
+    ("hebrew", "[\\u0590-\\u05FF]"),
+    ("devanagari", "[\\u0900-\\u097F]"),
+    ("cjk", "[\\u4E00-\\u9FFF\\u3040-\\u30FF]"),  # Han + kana
+    ("hangul", "[\\uAC00-\\uD7AF\\u1100-\\u11FF]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_counts(col: str | Column) -> dict:
+    """Per-script character counts (``n_latin`` … ``n_digit``) — pure
+    codegen ``regexp_count`` over literal ranges, zero shuffle/Python.
+    The routing signal a multilingual web pipeline branches on before
+    language-ID proper (lang-ID models are per-script; CJK segmentation
+    and RTL handling change the whole downstream plan).  Null text
+    propagates null counts."""
+    c = _c(col)
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in SCRIPT_RANGES
+    }
+
+
+def with_script_profile(df, col: str | Column, dominant_col: str = "script"):
+    """Annotate rows with per-script counts plus the ``dominant`` script:
+    the first script (in ``SCRIPT_RANGES`` order — a documented, fixed
+    precedence) whose count equals the maximum, or NULL when no script
+    character occurs at all (or the text is NULL).  Pure Column algebra;
+    the CASE chain replays verbatim in ANSI SQL."""
+    counts = script_counts(col)
+    out = df
+    for name, expr in counts.items():
+        out = out.withColumn(name, expr)
+    names = [f"n_{n}" for n, _ in SCRIPT_RANGES]
+    top = F.greatest(*[F.col(n) for n in names])
+    dominant = F.lit(None).cast("string")
+    for n, _ in reversed(SCRIPT_RANGES):
+        dominant = F.when(
+            F.col(f"n_{n}") == top, F.lit(n)
+        ).otherwise(dominant)
+    dominant = F.when(top.isNull() | (top == 0), F.lit(None).cast("string")).otherwise(
+        dominant
+    )
+    return out.withColumn(dominant_col, dominant)

@@ -343,3 +343,71 @@ def test_bigram_ppl_partition_invariant(spark):
         for r in bigram_ppl_scores(docs.repartition(7)).collect()
     )
     assert again == base
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling
+# ---------------------------------------------------------------------------
+
+def test_script_profile_planted_scripts(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        with_script_profile,
+    )
+
+    rows = [
+        (1, "hello world 42"),
+        (2, "привет мир"),
+        (3, "你好世界 and a bit of latin"),
+        (4, "γειά σου"),
+        (5, "مرحبا"),
+        (6, "שלום"),
+        (7, "नमस्ते"),
+        (8, "안녕하세요"),
+        (9, "12345"),
+        (10, ""),
+        (11, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: (r["script"], r["n_latin"], r["n_cyrillic"], r["n_cjk"])
+        for r in with_script_profile(df, "text").collect()
+    }
+    assert got[1][0] == "latin" and got[1][1] == 10
+    assert got[2][0] == "cyrillic" and got[2][2] == 9
+    # 4 CJK chars vs 16 latin chars -> latin dominates row 3
+    assert got[3][0] == "latin" and got[3][3] == 4
+    assert got[4][0] == "greek"
+    assert got[5][0] == "arabic"
+    assert got[6][0] == "hebrew"
+    assert got[7][0] == "devanagari"
+    assert got[8][0] == "hangul"
+    assert got[9][0] == "digit"
+    assert got[10][0] is None  # no script characters at all
+    assert got[11][0] is None and got[11][1] is None  # null text
+
+
+def test_script_profile_tie_takes_range_order_precedence(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        with_script_profile,
+    )
+
+    # 3 latin + 3 cyrillic chars: tie -> latin (first in SCRIPT_RANGES)
+    df = spark.createDataFrame([(1, "abc жзи")], "id int, text string")
+    got = with_script_profile(df, "text").collect()[0]
+    assert got["n_latin"] == 3 and got["n_cyrillic"] == 3
+    assert got["script"] == "latin"
+
+
+def test_script_profile_plan_no_python(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        with_script_profile,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    plan = (
+        with_script_profile(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
