@@ -2607,6 +2607,31 @@ def q97_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_partition_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI + NMI between two deterministic clusterings of the corpus
+    (5-grouping vs 7-grouping of doc_id) — chance-corrected and
+    information-theoretic partition agreement, completing the cluster-
+    evaluation family (pairwise P/R/F1 q28, B-cubed q07, blocking
+    quality q06).  Everything reduces over the contingency table: one
+    id join + three bounded aggregates; the scalar closed forms replay
+    in SQL with the same expression structure (ln parity per
+    q40/q68/q90)."""
+    from semantic_entity_matching_spark.operators.evaluate import (
+        partition_comparison,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("component"),
+    )
+    gold = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("entity"),
+    )
+    return partition_comparison(pred, gold)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2706,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_scd2_history": q95_scd2_history,
         "q96_weighted_sample": q96_weighted_sample,
         "q97_script_profile": q97_script_profile,
+        "q98_partition_comparison": q98_partition_comparison,
     }
 
 
@@ -5757,6 +5783,40 @@ def oracle_sql() -> dict[str, str]:
                     {_dom_chain}
                END AS script
         FROM topped
+    """
+
+    # q98: ARI/NMI closed forms over the contingency table, expression
+    # structure mirrored from the operator so the driver-side doubles
+    # agree (half-integer pair counts are exact; ln sums round at 6).
+    sql["q98_partition_comparison"] = """
+        WITH p AS (
+            SELECT doc_id AS id, doc_id - doc_id % 5 AS pc FROM documents
+        ), g AS (
+            SELECT doc_id AS id, doc_id - doc_id % 7 AS gc FROM documents
+        ), cont AS (
+            SELECT pc, gc, count(*)::DOUBLE AS nij
+            FROM p JOIN g ON p.id = g.id GROUP BY pc, gc
+        ), a AS (
+            SELECT pc, sum(nij) AS ai FROM cont GROUP BY pc
+        ), b AS (
+            SELECT gc, sum(nij) AS bj FROM cont GROUP BY gc
+        ), s AS (
+            SELECT (SELECT sum(nij) FROM cont) AS n,
+                   (SELECT sum(nij * (nij - 1) / 2) FROM cont) AS snij,
+                   (SELECT sum(nij * ln(nij)) FROM cont) AS lnij,
+                   (SELECT sum(ai * (ai - 1) / 2) FROM a) AS sa,
+                   (SELECT sum(ai * ln(ai)) FROM a) AS lna,
+                   (SELECT sum(bj * (bj - 1) / 2) FROM b) AS sb,
+                   (SELECT sum(bj * ln(bj)) FROM b) AS lnb
+        )
+        SELECT n::BIGINT AS n,
+               round((snij - sa * sb / (n * (n - 1) / 2))
+                     / ((sa + sb) / 2 - sa * sb / (n * (n - 1) / 2)), 6)
+                   AS ari,
+               round((ln(n) - (lna + lnb - lnij) / n)
+                     / (((ln(n) - lna / n) + (ln(n) - lnb / n)) / 2), 6)
+                   AS nmi
+        FROM s
     """
 
     return sql

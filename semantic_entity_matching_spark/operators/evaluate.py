@@ -291,3 +291,91 @@ def cluster_cohesion(
     if round_to is not None:
         out = out.withColumn("density", F.round("density", round_to))
     return out
+
+
+def partition_comparison(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "component",
+    gold_col: str = "entity",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Adjusted Rand Index + Normalized Mutual Information between two
+    clusterings of the same records — the information-theoretic
+    complements to :func:`pairwise_metrics` (raw pair counts) and
+    :func:`bcubed_metrics` (per-record averages); ARI corrects pairwise
+    agreement for chance, NMI (arithmetic normalization, sklearn's
+    default) compares partitions of very different granularities.
+
+    Everything reduces over the CONTINGENCY TABLE: one inner join on the
+    record id + one (pred, gold) hash aggregate gives ``n_ij``;
+    marginals are two more aggregates over that (bounded) table.  The
+    closed forms then need only Σ n_ij², Σ a_i², Σ b_j², Σ n_ij·ln(n_ij)
+    etc. — map-side-combinable sums, two scalar rows, zero windows.
+    Records present in only one clustering are excluded by the join
+    (document the universe upstream).  Returns ONE row ``(n, ari,
+    nmi)``.  Degenerate conventions (documented, deterministic): when
+    the chance-correction denominator is zero ARI is 1.0 (both
+    partitions trivially agree); when both entropies are zero NMI is
+    1.0 iff the partitions coincide, else 0.0.
+    """
+    p = pred.select(F.col(id_col).alias("id"), F.col(pred_col).alias("_p"))
+    g = gold.select(F.col(id_col).alias("id"), F.col(gold_col).alias("_g"))
+    cont = (
+        p.join(g, "id")
+        .groupBy("_p", "_g")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    a = cont.groupBy("_p").agg(F.sum("nij").alias("ai"))
+    b = cont.groupBy("_g").agg(F.sum("nij").alias("bj"))
+
+    row = cont.agg(
+        F.sum("nij").alias("n"),
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2).alias("sum_nij_c2"),
+        F.sum(
+            F.col("nij").cast("double")
+            * F.log(F.col("nij").cast("double"))
+        ).alias("sum_nij_ln"),
+    ).collect()[0]
+    n = int(row["n"])
+    sum_nij_c2 = float(row["sum_nij_c2"])
+    sum_nij_ln = float(row["sum_nij_ln"])
+    rowa = a.agg(
+        F.sum(F.col("ai") * (F.col("ai") - 1) / 2).alias("c2"),
+        F.sum(F.col("ai").cast("double") * F.log(F.col("ai").cast("double"))).alias("ln"),
+    ).collect()[0]
+    rowb = b.agg(
+        F.sum(F.col("bj") * (F.col("bj") - 1) / 2).alias("c2"),
+        F.sum(F.col("bj").cast("double") * F.log(F.col("bj").cast("double"))).alias("ln"),
+    ).collect()[0]
+
+    import math
+
+    spark = pred.sparkSession
+    if n < 2:
+        out = [(n, 1.0 if n >= 0 else None, 1.0)]
+        return spark.createDataFrame(out, "n bigint, ari double, nmi double")
+    a_c2, b_c2 = float(rowa["c2"]), float(rowb["c2"])
+    total_c2 = n * (n - 1) / 2
+    expected = a_c2 * b_c2 / total_c2
+    max_index = (a_c2 + b_c2) / 2
+    ari = (
+        1.0
+        if max_index == expected
+        else (sum_nij_c2 - expected) / (max_index - expected)
+    )
+    # entropies/MI from the ln sums: H(U) = ln n - (1/n) Σ a ln a
+    h_u = math.log(n) - float(rowa["ln"]) / n
+    h_v = math.log(n) - float(rowb["ln"]) / n
+    mi = math.log(n) - (float(rowa["ln"]) + float(rowb["ln"]) - sum_nij_ln) / n
+    denom = (h_u + h_v) / 2
+    if denom == 0.0:
+        nmi = 1.0 if h_u == h_v == 0.0 and a_c2 == b_c2 == sum_nij_c2 else 0.0
+    else:
+        nmi = mi / denom
+    if round_to is not None:
+        ari, nmi = round(ari, round_to), round(nmi, round_to)
+    return spark.createDataFrame(
+        [(n, float(ari), float(nmi))], "n bigint, ari double, nmi double"
+    )

@@ -218,3 +218,76 @@ def test_update_components_column_order_pinned(spark):
     # positional consumers (exceptAll, parquet appends) need the same
     # layout as connected_components
     assert out.columns == ["id", "component"]
+
+
+# ---------------------------------------------------------------------------
+# ARI / NMI partition comparison
+# ---------------------------------------------------------------------------
+
+def _part(spark, mapping, col):
+    return spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], f"id string, {col} string"
+    )
+
+
+def test_ari_nmi_match_sklearn_formulas(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from semantic_entity_matching_spark.operators.evaluate import (
+        partition_comparison,
+    )
+
+    def ref_ari_nmi(pl, gl):
+        n = len(pl)
+        cont = Counter(zip(pl, gl))
+        a, b = Counter(pl), Counter(gl)
+        c2 = lambda x: x * (x - 1) / 2
+        s_nij = sum(c2(v) for v in cont.values())
+        s_a, s_b = sum(c2(v) for v in a.values()), sum(c2(v) for v in b.values())
+        exp = s_a * s_b / c2(n)
+        mx = (s_a + s_b) / 2
+        ari = 1.0 if mx == exp else (s_nij - exp) / (mx - exp)
+        h = lambda cnt: -sum(v / n * math.log(v / n) for v in cnt.values())
+        mi = sum(
+            v / n * math.log(n * v / (a[i] * b[j]))
+            for (i, j), v in cont.items()
+        )
+        denom = (h(a) + h(b)) / 2
+        nmi = mi / denom if denom else 1.0
+        return round(ari, 6), round(nmi, 6)
+
+    for seed in (1, 2, 3):
+        h = lambda i, s: int(
+            hashlib.md5(f"{seed}:{s}:{i}".encode()).hexdigest(), 16
+        )
+        ids = [f"r{i}" for i in range(80)]
+        pl = [f"p{h(i, 'p') % 7}" for i in range(80)]
+        gl = [f"g{h(i, 'g') % 5}" for i in range(80)]
+        pred = _part(spark, dict(zip(ids, pl)), "component")
+        gold = _part(spark, dict(zip(ids, gl)), "entity")
+        row = partition_comparison(pred, gold).collect()[0]
+        want_ari, want_nmi = ref_ari_nmi(pl, gl)
+        assert row["n"] == 80
+        assert abs(row["ari"] - want_ari) < 1e-9, seed
+        assert abs(row["nmi"] - want_nmi) < 1e-9, seed
+
+
+def test_ari_nmi_identical_and_orthogonal(spark):
+    from semantic_entity_matching_spark.operators.evaluate import (
+        partition_comparison,
+    )
+
+    ids = [f"r{i}" for i in range(12)]
+    same = {i: f"c{k % 3}" for k, i in enumerate(ids)}
+    pred = _part(spark, same, "component")
+    gold = _part(spark, same, "entity")
+    row = partition_comparison(pred, gold).collect()[0]
+    assert row["ari"] == 1.0 and row["nmi"] == 1.0
+
+    # single cluster vs singletons: no information shared
+    one = _part(spark, {i: "all" for i in ids}, "component")
+    singl = _part(spark, {i: i for i in ids}, "entity")
+    row = partition_comparison(one, singl).collect()[0]
+    assert row["ari"] == 0.0 and row["nmi"] == 0.0
