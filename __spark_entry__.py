@@ -2632,6 +2632,22 @@ def q98_partition_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_comparison(pred, gold)
 
 
+def q99_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunken per-group means (tau=10) of a quality
+    proxy (text length) per language — the domain/host-level quality
+    prior of web curation: a group seen 3 times must not swing to an
+    extreme and gate a whole stratum.  One map-side-combinable group
+    aggregate + one scalar global mean broadcast back; raw and shrunken
+    means both emitted for threshold audits."""
+    from semantic_entity_matching_spark.operators.stats import (
+        shrunken_group_means,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select("lang", F.length("text").cast("double").alias("q"))
+    return shrunken_group_means(vals, "lang", "q", prior_strength=10.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2732,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_weighted_sample": q96_weighted_sample,
         "q97_script_profile": q97_script_profile,
         "q98_partition_comparison": q98_partition_comparison,
+        "q99_domain_quality_prior": q99_domain_quality_prior,
     }
 
 
@@ -5817,6 +5834,24 @@ def oracle_sql() -> dict[str, str]:
                      / (((ln(n) - lna / n) + (ln(n) - lnb / n)) / 2), 6)
                    AS nmi
         FROM s
+    """
+
+    # q99: shrinkage closed form, expression structure mirrored
+    # (tau*gm + s) / (tau + n); half of it is exact integer sums.
+    sql["q99_domain_quality_prior"] = """
+        WITH v AS (
+            SELECT lang, length(text)::DOUBLE AS q
+            FROM documents WHERE text IS NOT NULL
+        ), pg AS (
+            SELECT lang, count(*) AS n, sum(q) AS s FROM v GROUP BY lang
+        ), t AS (
+            SELECT sum(s) / sum(n) AS gm FROM pg
+        )
+        SELECT pg.lang, pg.n,
+               round(pg.s / pg.n, 6) AS mean,
+               round((10.0 * t.gm + pg.s) / (10.0 + pg.n), 6)
+                   AS shrunk_mean
+        FROM pg, t
     """
 
     return sql

@@ -82,3 +82,59 @@ def exact_quantiles(
         *keys, F.expr(f"stack({q}, {stack}) as (k, value)")
     ).where(F.col("value").isNotNull())
     return out
+
+
+def shrunken_group_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    prior_strength: float = 10.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group means toward the global
+    mean: ``post = (tau * global_mean + sum_x) / (tau + n)`` — the
+    domain-level quality prior of web-corpus curation (a domain seen 3
+    times must not swing to 0.0 or 1.0 and gate a whole host; a domain
+    seen 100k times speaks for itself).  ``prior_strength`` (tau) is the
+    pseudo-count weight of the global mean.
+
+    Returns ``(group, n, mean, shrunk_mean)`` — raw and shrunken, so
+    thresholds can be audited against both.  NULL values are excluded;
+    groups with only NULL values are absent; NULL group is a legitimate
+    group.  Rounding (default 6) makes the result stable under double
+    summation order across partitionings (the established convention).
+
+    Scale shape: ONE map-side-combinable (group) aggregate + one scalar
+    global aggregate broadcast into it — no window, no second corpus
+    scan.
+    """
+    if prior_strength < 0:
+        raise ValueError(f"prior_strength must be >= 0, got {prior_strength}")
+    v = F.col(value_col).cast("double")
+    per_group = (
+        df.where(v.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("_sum"),
+        )
+    )
+    totals = per_group.agg(
+        (F.sum("_sum") / F.sum("n")).alias("_gmean")
+    )
+    joined = per_group.crossJoin(F.broadcast(totals))  # one scalar row
+    mean = F.col("_sum") / F.col("n")
+    shrunk = (
+        F.lit(float(prior_strength)) * F.col("_gmean") + F.col("_sum")
+    ) / (F.lit(float(prior_strength)) + F.col("n"))
+    out = joined.select(
+        group_col,
+        "n",
+        (F.round(mean, round_to) if round_to is not None else mean).alias(
+            "mean"
+        ),
+        (
+            F.round(shrunk, round_to) if round_to is not None else shrunk
+        ).alias("shrunk_mean"),
+    )
+    return out

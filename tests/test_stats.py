@@ -79,3 +79,55 @@ def test_null_group_is_a_legitimate_stratum(spark):
         for r in exact_quantiles(df, "v", q=2, group_col="g").collect()
     }
     assert got == {(None, 1): 1, (None, 2): 3, ("a", 1): 7, ("a", 2): 7}
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrunken group means
+# ---------------------------------------------------------------------------
+
+def test_shrinkage_pulls_small_groups_to_global_mean(spark):
+    from semantic_entity_matching_spark.operators.stats import (
+        shrunken_group_means,
+    )
+
+    rows = (
+        [("big", 0.8)] * 100          # big group near its own mean
+        + [("tiny", 0.0)]             # single awful page
+        + [("nullg", None)]           # all-null group: absent
+        + [(None, 0.8)] * 10          # NULL group is legitimate
+    )
+    df = spark.createDataFrame(rows, "domain string, q double")
+    got = {
+        r["domain"]: (r["n"], r["mean"], r["shrunk_mean"])
+        for r in shrunken_group_means(df, "domain", "q", prior_strength=10.0).collect()
+    }
+    assert "nullg" not in got
+    g_mean = (100 * 0.8 + 0.0 + 10 * 0.8) / 111
+    assert got["big"][0] == 100 and abs(got["big"][1] - 0.8) < 1e-9
+    # big group barely moves; tiny group lands near the global mean
+    assert abs(got["big"][2] - (10 * g_mean + 80.0) / 110) < 1e-6
+    assert got["tiny"][1] == 0.0
+    assert abs(got["tiny"][2] - (10 * g_mean) / 11) < 1e-6
+    assert got[None][0] == 10
+
+
+def test_shrinkage_partitioning_independent_and_validates(spark):
+    import pytest as _pytest
+
+    from semantic_entity_matching_spark.operators.stats import (
+        shrunken_group_means,
+    )
+
+    rows = [(f"d{i % 7}", (i % 13) / 13.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "domain string, q double")
+    a = sorted(
+        (r["domain"], r["shrunk_mean"])
+        for r in shrunken_group_means(df.repartition(1), "domain", "q").collect()
+    )
+    b = sorted(
+        (r["domain"], r["shrunk_mean"])
+        for r in shrunken_group_means(df.repartition(16), "domain", "q").collect()
+    )
+    assert a == b
+    with _pytest.raises(ValueError):
+        shrunken_group_means(df, "domain", "q", prior_strength=-1)
