@@ -2648,6 +2648,29 @@ def q99_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shrunken_group_means(vals, "lang", "q", prior_strength=10.0)
 
 
+def q100_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan over the committed fixture (nulls in two columns,
+    non-ASCII city names, booleans) — the Hive-era columnar source a
+    migration pipeline must read alongside parquet, with the SAME
+    scan-side machinery (column pruning to the file reader, predicate
+    pushdown into PushedFilters — both pytest-pinned).  The oracle reads
+    the byte-identical CSV twin (the q30/q35 committed-fixture pattern;
+    DuckDB has no ORC reader).  Avro needs the external spark-avro jar —
+    absent from this container, documented environment-blocked like the
+    Iceberg runtime."""
+    from semantic_entity_matching_spark.sources.readers import read_orc
+
+    df = read_orc(spark, "/root/repo/fixtures/q100_catalog_orc")
+    return df.select(
+        "row_id",
+        "name",
+        "city",
+        "qty",
+        F.round("price", 6).alias("price"),
+        F.col("active").cast("int").alias("active"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2749,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_script_profile": q97_script_profile,
         "q98_partition_comparison": q98_partition_comparison,
         "q99_domain_quality_prior": q99_domain_quality_prior,
+        "q100_orc_scan": q100_orc_scan,
     }
 
 
@@ -5852,6 +5876,17 @@ def oracle_sql() -> dict[str, str]:
                round((10.0 * t.gm + pg.s) / (10.0 + pg.n), 6)
                    AS shrunk_mean
         FROM pg, t
+    """
+
+    # q100: the ORC fixture's CSV twin (q30/q35 committed-fixture
+    # pattern); empty CSV cells are NULLs, booleans cast to INT.
+    sql["q100_orc_scan"] = """
+        SELECT CAST(row_id AS BIGINT) AS row_id, name, city,
+               CAST(qty AS BIGINT) AS qty,
+               round(price, 6) AS price,
+               CAST(active AS INT) AS active
+        FROM read_csv('/root/repo/fixtures/q100_catalog_utf8.csv',
+                      header=true)
     """
 
     return sql

@@ -259,3 +259,30 @@ def read_jsonl(
             "columnNameOfCorruptRecord", corrupt_col
         )
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """ORC scan — the columnar interchange format of Hive-era lakes (a
+    migration source this engine must read alongside parquet; reference
+    concern: S1/S2's "read whatever the upstream hands you").
+
+    ORC is a first-class Spark source with the SAME scan-side machinery
+    as parquet: column pruning reaches the file reader, predicate
+    pushdown lands in ``PushedFilters`` (min/max stripe skipping), and
+    partition discovery works on directory layouts — all pytest-pinned
+    here.  ``columns`` prunes explicitly at the API level for callers
+    that know their projection (the optimizer prunes regardless).
+
+    Avro, by contrast, needs the external ``spark-avro`` jar, which —
+    like the Iceberg runtime — is absent from this container and
+    documented as environment-blocked (BASELINE.md); the reader would be
+    one ``format("avro")`` away.
+    """
+    df = spark.read.orc(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df

@@ -285,3 +285,17 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink — mirrors the parquet/CSV/JSONL sinks; ``partition_by``
+    produces the directory layout ORC partition discovery reads back."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
