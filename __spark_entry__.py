@@ -2671,6 +2671,29 @@ def q100_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over a deterministically skewed key
+    (half the corpus lands on 'hot'; the rest spreads over lang×mod-11
+    keys, NULL lang keys included): top-10 hottest keys with row count,
+    table share and the recommended salt count ceil(cnt/target) — the
+    measurement behind every salting decision in the engine.  One census
+    aggregate + TakeOrderedAndProject, deterministic (cnt desc, key asc
+    nulls last) order."""
+    from semantic_entity_matching_spark.operators.stats import skew_report
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot"))
+        .otherwise(
+            F.concat(
+                F.col("lang"), F.lit(":"), (F.col("doc_id") % 11).cast("string")
+            )
+        )
+        .alias("k")
+    )
+    return skew_report(keyed, "k", top_k=10, rows_per_task_target=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2773,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_partition_comparison": q98_partition_comparison,
         "q99_domain_quality_prior": q99_domain_quality_prior,
         "q100_orc_scan": q100_orc_scan,
+        "q101_skew_report": q101_skew_report,
     }
 
 
@@ -5887,6 +5911,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(active AS INT) AS active
         FROM read_csv('/root/repo/fixtures/q100_catalog_utf8.csv',
                       header=true)
+    """
+
+    # q101: census + top-k with the identical deterministic order; int
+    # division yields DOUBLE in DuckDB so share matches Spark's long/long.
+    sql["q101_skew_report"] = """
+        WITH keyed AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot'
+                        ELSE lang || ':' || cast(doc_id % 11 AS VARCHAR)
+                   END AS key
+            FROM documents
+        ), counts AS (
+            SELECT key, count(*)::BIGINT AS cnt FROM keyed GROUP BY key
+        ), t AS (
+            SELECT sum(cnt) AS total FROM counts
+        )
+        SELECT key, cnt,
+               round(cnt / total, 6) AS share,
+               greatest(1, ceil(cnt / 100.0))::INT AS recommended_salts
+        FROM counts, t
+        ORDER BY cnt DESC, key ASC NULLS LAST
+        LIMIT 10
     """
 
     return sql

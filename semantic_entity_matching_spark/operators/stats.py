@@ -138,3 +138,56 @@ def shrunken_group_means(
         ).alias("shrunk_mean"),
     )
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    rows_per_task_target: int = 1_000_000,
+) -> DataFrame:
+    """Join-key skew diagnostic: the top-``top_k`` hottest keys with
+    their row counts, share of the table, and a recommended salt count —
+    the MEASUREMENT behind every "salt the hot keys" decision in this
+    engine (the pipeline's dynamic per-key salts, the block caps, the
+    AQE skew thresholds).  Run it on a join key BEFORE shipping a new
+    join at corpus scale; a top-1 share of 10% means that key alone
+    serializes 10% of the shuffle onto one reducer without salting.
+
+    * ``cnt``: rows under the key (NULL keys count as a key — they hash
+      to one reducer like any other value);
+    * ``share``: cnt / total rows, rounded 6;
+    * ``recommended_salts``: ``ceil(cnt / rows_per_task_target)``,
+      floor 1 — the replication factor that bounds one reducer's share
+      of this key to the target.
+
+    Scale shape: one map-side-combinable count aggregate to the
+    key-DOMAIN table, then ``TakeOrderedAndProject`` for the top-k
+    (never a global sort) with a deterministic (cnt desc, key asc)
+    order; the scalar total rides the one-row broadcast cross join.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if rows_per_task_target < 1:
+        raise ValueError(
+            f"rows_per_task_target must be >= 1, got {rows_per_task_target}"
+        )
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key_col).alias("key"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("cnt") / F.lit(float(rows_per_task_target))),
+            )
+            .cast("int")
+            .alias("recommended_salts"),
+        )
+        .orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
+        .limit(top_k)
+    )
+    return out

@@ -131,3 +131,47 @@ def test_shrinkage_partitioning_independent_and_validates(spark):
     assert a == b
     with _pytest.raises(ValueError):
         shrunken_group_means(df, "domain", "q", prior_strength=-1)
+
+
+# ---------------------------------------------------------------------------
+# join-key skew report
+# ---------------------------------------------------------------------------
+
+def test_skew_report_hot_keys_and_salts(spark):
+    from semantic_entity_matching_spark.operators.stats import skew_report
+
+    rows = (
+        [("hot",)] * 50
+        + [("warm",)] * 10
+        + [(None,)] * 5
+        + [(f"cold{i}",) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r["key"], r["cnt"], r["share"], r["recommended_salts"])
+        for r in skew_report(df, "k", top_k=3, rows_per_task_target=20).collect()
+    ]
+    n = len(rows)
+    assert got[0] == ("hot", 50, round(50 / n, 6), 3)   # ceil(50/20)
+    assert got[1] == ("warm", 10, round(10 / n, 6), 1)
+    assert got[2] == (None, 5, round(5 / n, 6), 1)      # NULL is a key
+    assert len(got) == 3
+
+
+def test_skew_report_plan_uses_take_ordered(spark):
+    import pytest as _pytest
+
+    from semantic_entity_matching_spark.operators.stats import skew_report
+
+    df = spark.createDataFrame([(f"k{i % 9}",) for i in range(100)], "k string")
+    plan = (
+        skew_report(df, "k", top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with _pytest.raises(ValueError):
+        skew_report(df, "k", top_k=0)
+    with _pytest.raises(ValueError):
+        skew_report(df, "k", rows_per_task_target=0)
