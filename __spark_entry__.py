@@ -2694,6 +2694,26 @@ def q101_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(keyed, "k", top_k=10, rows_per_task_target=100)
 
 
+def q102_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation exploded to (doc_id, sent_idx, sentence)
+    for the first 50 docs — the unit of sentence-level dedup and
+    boundary-aware chunking (token-window chunking q41 cuts
+    mid-sentence).  Lookaround-free: RE2 has no lookbehind, so the
+    terminator+whitespace is rewritten to terminator+sentinel with a
+    backreference and split on the literal sentinel — identical
+    semantics in Java regex and RE2, only the backref spelling
+    differs."""
+    from semantic_entity_matching_spark.functions.textops import (
+        split_sentences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.posexplode(split_sentences("text")).alias("sent_idx", "sentence"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2797,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_domain_quality_prior": q99_domain_quality_prior,
         "q100_orc_scan": q100_orc_scan,
         "q101_skew_report": q101_skew_report,
+        "q102_sentence_segmentation": q102_sentence_segmentation,
     }
 
 
@@ -5932,6 +5953,28 @@ def oracle_sql() -> dict[str, str]:
         FROM counts, t
         ORDER BY cnt DESC, key ASC NULLS LAST
         LIMIT 10
+    """
+
+    # q102: same sentinel rewrite (RE2 backref \\1, 'g' flag) + split +
+    # trim + drop-empty, exploded with a 1-based range -> 0-based idx.
+    sql["q102_sentence_segmentation"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       string_split(
+                           regexp_replace(text, '([.!?])\\s+',
+                                          '\\1' || chr(1), 'g'),
+                           chr(1)),
+                       x -> trim(x)), x -> x <> '') AS sents
+            FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+        ), e AS (
+            SELECT doc_id,
+                   unnest(range(1, len(sents) + 1)) AS i,
+                   sents
+            FROM s
+        )
+        SELECT doc_id, (i - 1)::INT AS sent_idx, sents[i] AS sentence
+        FROM e
     """
 
     return sql

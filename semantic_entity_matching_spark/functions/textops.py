@@ -1157,3 +1157,37 @@ def with_script_profile(df, col: str | Column, dominant_col: str = "script"):
         dominant
     )
     return out.withColumn(dominant_col, dominant)
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation
+# ---------------------------------------------------------------------------
+
+SENTENCE_SENTINEL = "\x01"
+
+
+def split_sentences(col: str | Column) -> Column:
+    """Split text into sentences: a sentence ends at ``[.!?]`` followed
+    by whitespace; trailing text without a terminator is the final
+    sentence.  The unit of sentence-level dedup, per-sentence quality
+    stats, and boundary-aware chunking (token-window chunking — q41 —
+    cuts mid-sentence; this doesn't).
+
+    Lookaround-free by construction: RE2 (and therefore the DuckDB twin)
+    has no lookbehind, so instead of splitting on ``(?<=[.!?])\\s+`` the
+    terminator+whitespace is REWRITTEN to ``terminator + \\x01`` with a
+    capture-group backreference, then split on the literal sentinel —
+    identical semantics in Java regex and RE2 (only the backref spelling
+    differs: ``$1`` vs ``\\1``).  ``\\x01`` never occurs in text that
+    survived the C0-control quality gates; a corpus that legitimately
+    contains it should strip controls first (the NFC/normalize step
+    does).
+
+    Empty/whitespace-only fragments are dropped; every sentence is
+    trimmed.  NULL text yields NULL.  Pure codegen — zero shuffle/Python.
+    """
+    c = _c(col)
+    marked = F.regexp_replace(c, r"([.!?])\s+", "$1" + SENTENCE_SENTINEL)
+    parts = F.split(marked, SENTENCE_SENTINEL)
+    trimmed = F.transform(parts, lambda x: F.trim(x))
+    return F.array_remove(trimmed, "")

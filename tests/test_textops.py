@@ -411,3 +411,53 @@ def test_script_profile_plan_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+def test_split_sentences_basics(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_entity_matching_spark.functions.textops import (
+        split_sentences,
+    )
+
+    rows = [
+        (1, "First one. Second two! Third three? trailing tail"),
+        (2, "No terminator at all"),
+        (3, "Multi!!  Spaced.   Out."),
+        (4, "Dots mid-word like example.com stay. Next."),
+        (5, ""),
+        (6, None),
+        (7, "  . !  "),  # punctuation/whitespace only
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", split_sentences("text").alias("s")).collect()
+    }
+    assert got[1] == ["First one.", "Second two!", "Third three?", "trailing tail"]
+    assert got[2] == ["No terminator at all"]
+    assert got[3] == ["Multi!!", "Spaced.", "Out."]
+    # mid-token dot without following whitespace does NOT split
+    assert got[4] == ["Dots mid-word like example.com stay.", "Next."]
+    assert got[5] == []
+    assert got[6] is None
+    assert got[7] == [".", "!"]
+
+
+def test_split_sentences_plan_pure_codegen(spark):
+    from semantic_entity_matching_spark.functions.textops import (
+        split_sentences,
+    )
+
+    df = spark.createDataFrame([(1, "a. b.")], "id int, text string")
+    plan = (
+        df.select(split_sentences("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
