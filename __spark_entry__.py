@@ -2714,6 +2714,96 @@ def q102_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (soundex-style) blocking over the part-name vocabulary.
+
+    Classic name-noise blocking: the last word of every ``p_name`` plus a
+    planted misspelling (2nd char dropped — "ring"→"rng" — for every
+    ``p_partkey % 7 == 0`` part) is keyed with the engine's phonetic code;
+    DISTINCT words sharing a key become candidate pairs, annotated with
+    their true edit distance.  Pairing the VOCABULARY (not row instances)
+    is the 100 TB shape: key cardinality is vocabulary-bounded, so the
+    self-join never sees the Zipf head of row repetitions.  The oracle
+    recomputes the identical key chain in DuckDB via
+    :func:`phonetic_key_sql` — one source of truth, engine-portability
+    verified by the contract (the q37 centroid precedent).
+    """
+    from semantic_entity_matching_spark.functions.phonetic import phonetic_key
+
+    parts = _t(spark, sf_dir, "part")
+    last = F.element_at(F.split(F.col("p_name"), " "), -1)
+    orig = parts.select(last.alias("w"))
+    mut = parts.where((F.col("p_partkey") % 7 == 0) & (F.length(last) >= 3)).select(
+        F.concat(
+            F.substring(last, 1, 1), F.substring(last, 3, 1_000_000)
+        ).alias("w")
+    )
+    words = (
+        orig.unionAll(mut)
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .distinct()
+    )
+    keyed = words.select("w", phonetic_key(F.col("w")).alias("key")).where(
+        F.col("key").isNotNull()
+    )
+    a = keyed.select(F.col("w").alias("word_a"), "key")
+    b = keyed.select(F.col("w").alias("word_b"), "key")
+    return (
+        a.join(b, "key")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select(
+            "word_a",
+            "word_b",
+            "key",
+            F.levenshtein("word_a", "word_b").alias("distance"),
+        )
+    )
+
+
+def q104_simjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS jaccard >= 0.7 self-join via AllPairs/PPJoin prefix
+    filtering — the exact counterpart of the probabilistic MinHash path
+    (q21) at the same tokenization.  Signatures are each doc's rarest
+    tokens under the global df order, so candidate-join keys are anti-Zipf
+    by construction (no salting needed); the oracle is the quadratic
+    ground truth."""
+    from semantic_entity_matching_spark.operators.simjoin import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prefix_filter_jaccard_join(docs, "doc_id", "text", 0.7)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q105_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDJoin-style exact levenshtein <= 2 self-join over part names
+    (p_partkey < 1000) plus planted 1-edit mutants (char 4 dropped for
+    every p_partkey % 5 == 0 name, re-keyed +1000000).  Prefix = the
+    k*q+1 globally-rarest q-grams; length filter in the join condition;
+    exact JVM ``levenshtein`` verification.  Oracle: quadratic DuckDB
+    ``levenshtein`` with the (ED-implied) length prefilter."""
+    from semantic_entity_matching_spark.operators.simjoin import (
+        edit_distance_join,
+    )
+
+    parts = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 1000)
+    orig = parts.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    mut = parts.where(
+        (F.col("p_partkey") % 5 == 0) & (F.length("p_name") >= 5)
+    ).select(
+        (F.col("p_partkey") + 1_000_000).alias("id"),
+        F.concat(
+            F.substring("p_name", 1, 3), F.substring("p_name", 5, 1_000_000)
+        ).alias("name"),
+    )
+    return edit_distance_join(orig.unionAll(mut), "id", "name", k=2, q=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2818,6 +2908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_orc_scan": q100_orc_scan,
         "q101_skew_report": q101_skew_report,
         "q102_sentence_segmentation": q102_sentence_segmentation,
+        "q103_phonetic_blocking": q103_phonetic_blocking,
+        "q104_simjoin_jaccard": q104_simjoin_jaccard,
+        "q105_edit_distance_join": q105_edit_distance_join,
     }
 
 
@@ -5975,6 +6068,82 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, (i - 1)::INT AS sent_idx, sents[i] AS sentence
         FROM e
+    """
+
+    # q103: the SAME phonetic key chain rendered for DuckDB by the shared
+    # generator (one source of truth — a Spark-side change not mirrored in
+    # phonetic_key_sql fails this contract, not just a unit test).
+    from semantic_entity_matching_spark.functions.phonetic import (
+        phonetic_key_sql,
+    )
+
+    sql["q103_phonetic_blocking"] = f"""
+        WITH lastw AS (
+            SELECT p_partkey,
+                   (regexp_split_to_array(p_name, ' '))[-1] AS w
+            FROM part
+        ), words0 AS (
+            SELECT w FROM lastw
+            UNION ALL
+            SELECT concat(substr(w, 1, 1), substr(w, 3)) AS w
+            FROM lastw WHERE p_partkey % 7 = 0 AND length(w) >= 3
+        ), words AS (
+            SELECT DISTINCT w FROM words0
+            WHERE w IS NOT NULL AND w <> ''
+        ), keyed AS (
+            SELECT w, {phonetic_key_sql('w')} AS key FROM words
+        )
+        SELECT a.w AS word_a, b.w AS word_b, a.key AS key,
+               levenshtein(a.w, b.w)::INT AS distance
+        FROM keyed a JOIN keyed b
+          ON a.key = b.key AND a.w < b.w
+        WHERE a.key IS NOT NULL
+    """
+
+    # q104: quadratic exact-jaccard ground truth over the q58/q21 shared
+    # tokenization (distinct lowercased \\s+ tokens, empties removed;
+    # empty/null token sets dropped — a 0.7 threshold can never admit them)
+    sql["q104_simjoin_jaccard"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ), ne AS (
+            SELECT doc_id, tok, len(tok) AS n
+            FROM toks WHERE tok IS NOT NULL AND len(tok) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.tok, b.tok))::DOUBLE
+                     / (a.n + b.n - len(list_intersect(a.tok, b.tok)))
+                     AS j
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard
+        FROM pairs WHERE j >= 0.7
+    """
+
+    # q105: quadratic levenshtein ground truth over the planted-mutant
+    # union; abs-length prefilter is implied by ED<=2, so applying it in
+    # the oracle is a correct optimization, not an assumption shared with
+    # the engine's q-gram prefix logic.
+    sql["q105_edit_distance_join"] = """
+        WITH base AS (
+            SELECT p_partkey AS id, p_name AS name
+            FROM part WHERE p_partkey < 1000
+            UNION ALL
+            SELECT p_partkey + 1000000 AS id,
+                   concat(substr(p_name, 1, 3), substr(p_name, 5)) AS name
+            FROM part
+            WHERE p_partkey < 1000 AND p_partkey % 5 = 0
+              AND length(p_name) >= 5
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.name, b.name)::INT AS distance
+        FROM base a JOIN base b
+          ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 2
+        WHERE levenshtein(a.name, b.name) <= 2
     """
 
     return sql

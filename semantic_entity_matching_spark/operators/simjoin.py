@@ -1,0 +1,267 @@
+"""Exact set-similarity and edit-distance self-joins via prefix filtering.
+
+The LSH family (operators/blocking.py, operators/dedup.py) trades recall for
+cost: banding misses a tunable fraction of true pairs.  This module is the
+LOSSLESS alternative for thresholds where exactness is required — the
+classic signature-based similarity joins:
+
+* ``prefix_filter_jaccard_join`` — AllPairs/PPJoin-style prefix filtering
+  (Bayardo et al., WWW 2007 "Scaling Up All Pairs Similarity Search";
+  Xiao et al., WWW 2008): order every document's distinct tokens by GLOBAL
+  ascending document frequency, emit only the first
+  ``|x| - ceil(t*|x|) + 1`` tokens (the rarest ones) as join signatures —
+  any pair with jaccard >= t provably shares a signature token, so the
+  candidate set is complete, and the final jaccard verification makes the
+  output exact.
+* ``edit_distance_join`` — EDJoin-style (Xiao, Wang, Lin, VLDB 2008):
+  q-gram signatures under the same global order with prefix length
+  ``k*q + 1`` (one edit destroys at most ``q`` overlapping q-grams, so two
+  strings within edit distance ``k`` cannot disagree on ``k*q + 1`` rarest
+  grams), length filter ``abs(|x|-|y|) <= k`` in the join condition, exact
+  ``levenshtein`` verification at the end.
+
+The reference has no exact-join analog — its candidate generation is ANN
+(reference lib/opensearch/services/search_query_builder.py:43-58) — but its
+rerank stage IS an exact verifier over candidates
+(reference lib/rerank.py:15-74); these operators fuse the two roles.
+
+Scale shape, by construction:
+* Join keys are the RAREST tokens/grams in the corpus (lowest df under the
+  global order), so the signature join's key distribution is the inverse of
+  the Zipf head — hot boilerplate tokens never become join keys.  This is
+  the opposite failure mode of naive token blocking and the reason the
+  prefix join needs no salting.
+* The df ranking table is vocabulary-cardinality and is joined with a plain
+  shuffle join — NEVER broadcast (same rule as the BM25 IDF table,
+  operators/search.py).
+* Verification joins fetch full token arrays by id AFTER candidate dedup,
+  so the wide payload crosses the wire once per surviving pair side.
+* Everything is DataFrame built-ins + ``F.levenshtein`` — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_entity_matching_spark.operators.dedup import _distinct_tokens
+
+
+def _df_ordered_tokens(
+    toks: DataFrame, id_out: str = "_id"
+) -> DataFrame:
+    """(id, tok array) -> (id, tokens ordered by (global df asc, token asc),
+    size).  The order is the one global total order every prefix-filter
+    proof requires; ties broken lexically so both engines agree."""
+    ex = toks.select(id_out, F.explode("_tok").alias("_t"))
+    df_tab = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # vocabulary-cardinality table: plain shuffle join, never broadcast
+    ranked = ex.join(df_tab, "_t")
+    return (
+        ranked.groupBy(id_out)
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_t"))).alias("_o"))
+        .select(
+            id_out,
+            F.transform("_o", lambda s: s["_t"]).alias("_ord"),
+            F.size("_o").alias("_n"),
+        )
+    )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact jaccard >= threshold self-join over whitespace token sets.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, one row per
+    qualifying unordered pair.  Empty and NULL token sets are dropped (a
+    threshold > 0 can never admit them against a non-empty set, and the
+    empty-vs-empty pair is degenerate for dedup purposes).
+
+    Tokenization is the engine-wide :func:`_distinct_tokens` so results are
+    directly comparable with the MinHash path (q21) at the same threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"), _distinct_tokens(text_col).alias("_tok")
+        )
+        .where(F.size("_tok") > 0)
+    )
+    ordered = _df_ordered_tokens(toks)
+    # prefix length |x| - ceil(t|x|) + 1: the rarest tokens whose absence
+    # from the other side would already cap jaccard below t
+    plen = (
+        F.col("_n")
+        - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        "_id", "_n", F.explode(F.slice("_ord", F.lit(1), plen)).alias("_t")
+    )
+    a = pref.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_t"
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_t"
+    )
+    # length filter folded into the join: jaccard >= t forces
+    # min(|x|,|y|) / max(|x|,|y|) >= t
+    cand = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a.id_a") < F.col("b.id_b"))
+            & (
+                F.least("a._na", "b._nb")
+                >= F.lit(float(threshold)) * F.greatest("a._na", "b._nb")
+            ),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = ordered.select("_id", "_ord", "_n")
+    va = full.select(
+        F.col("_id").alias("id_a"),
+        F.col("_ord").alias("_ta"),
+        F.col("_n").alias("_na"),
+    )
+    vb = full.select(
+        F.col("_id").alias("id_b"),
+        F.col("_ord").alias("_tb"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    jac = inter.cast("double") / (
+        F.col("_na") + F.col("_nb") - inter
+    ).cast("double")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= float(threshold))
+    )
+
+
+def _qgram_set(s: Column, q: int) -> Column:
+    """Distinct q-grams of ``s``; a string shorter than q contributes
+    itself as its only gram (so very short strings still join)."""
+    grams = F.when(
+        F.length(s) < q, F.array(s)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (q - 1)),
+            lambda i: F.substring(s, i, q),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    q: int = 2,
+) -> DataFrame:
+    """Exact ``levenshtein <= k`` self-join via q-gram prefix signatures.
+
+    Returns ``(id_a, id_b, distance)`` with ``id_a < id_b``.  NULL strings
+    are dropped.  Prefix length is ``k*q + 1``: one edit touches at most
+    ``q`` grams, so for strings with MORE than ``k*q`` grams the disjoint-
+    prefix overlap bound (``|Gx ∩ Gy| < max(|Gx|,|Gy|) - k*q`` whenever the
+    two prefixes are disjoint under the global order) contradicts the
+    ED-implied overlap — the prefix join is complete on that stratum.
+
+    Strings with at most ``k*q`` grams carry too little gram evidence for
+    ANY signature scheme ("a" vs "" is distance 1 with zero shared grams),
+    so they take the EDJoin short-string corner case: each joins every
+    string whose length is within ``k`` via an exploded length-window key
+    and goes straight to verification.  At web scale that stratum is
+    bounded by the alphabet (length <= k*q + q - 1 ≈ 5 chars for k=2,q=2),
+    so its 2k+1-key length join is a small-side join by construction.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    strs = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_s")
+    ).where(F.col("_s").isNotNull())
+    toks = strs.select(
+        "_id", _qgram_set(F.col("_s"), q).alias("_tok")
+    ).where(F.size("_tok") > 0)
+    ordered = _df_ordered_tokens(toks)
+    lens = strs.select("_id", F.length("_s").alias("_len"))
+    pref = (
+        ordered.where(F.col("_n") > k * q)
+        .select(
+            "_id",
+            F.explode(F.slice("_ord", F.lit(1), F.lit(k * q + 1))).alias("_g"),
+        )
+        .join(lens, "_id")
+    )
+    a = pref.select(
+        F.col("_id").alias("id_a"), F.col("_len").alias("_la"), "_g"
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), F.col("_len").alias("_lb"), "_g"
+    )
+    cand = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a.id_a") < F.col("b.id_b"))
+            & (F.abs(F.col("a._la") - F.col("b._lb")) <= k),
+        )
+        .select("id_a", "id_b")
+    )
+    # EDJoin short-string corner case: <= k*q grams is too little gram
+    # evidence for the prefix bound ("a" vs "" is distance 1 with zero
+    # shared grams), so these rows — alphabet-bounded at web scale — join
+    # EVERY string in their +-k length window and rely on verification
+    # alone.  Exploding the short side to its 2k+1 candidate lengths keeps
+    # the join an equi-join (no range condition), so AQE can still
+    # broadcast the exploded short side.
+    short = (
+        ordered.where(F.col("_n") <= k * q)
+        .join(lens, "_id")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_len") - k, F.col("_len") + k)
+            ).alias("_len2"),
+        )
+        .where(F.col("_len2") >= 0)
+    )
+    short_cand = (
+        short.alias("s")
+        .join(
+            lens.alias("l"),
+            (F.col("s._len2") == F.col("l._len"))
+            & (F.col("s._id") != F.col("l._id")),
+        )
+        .select(
+            F.least("s._id", "l._id").alias("id_a"),
+            F.greatest("s._id", "l._id").alias("id_b"),
+        )
+    )
+    cand = cand.unionAll(short_cand).distinct()
+    sa = strs.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = strs.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_sa", "_sb").alias("distance"),
+        )
+        .where(F.col("distance") <= k)
+    )
