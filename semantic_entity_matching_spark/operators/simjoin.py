@@ -55,8 +55,11 @@ def _df_ordered_tokens(
     proof requires; ties broken lexically so both engines agree."""
     ex = toks.select(id_out, F.explode("_tok").alias("_t"))
     df_tab = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    # vocabulary-cardinality table: plain shuffle join, never broadcast
-    ranked = ex.join(df_tab, "_t")
+    # vocabulary-cardinality table: pinned to a shuffle hash join —
+    # Catalyst would broadcast it off small-scale stats, and at web
+    # scale the vocabulary cannot broadcast (the BM25 IDF rule; the
+    # plan audit asserts no BroadcastExchange survives in q104)
+    ranked = ex.join(df_tab.hint("shuffle_hash"), "_t")
     return (
         ranked.groupBy(id_out)
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_t"))).alias("_o"))
@@ -111,10 +114,12 @@ def prefix_filter_jaccard_join(
     )
     # length filter folded into the join: jaccard >= t forces
     # min(|x|,|y|) / max(|x|,|y|) >= t
+    # signature self-join: both sides are exploded corpus prefixes —
+    # pinned shuffle_hash for the same reason as the df table
     cand = (
         a.alias("a")
         .join(
-            b.alias("b"),
+            b.alias("b").hint("shuffle_hash"),
             (F.col("a._t") == F.col("b._t"))
             & (F.col("a.id_a") < F.col("b.id_b"))
             & (
@@ -141,8 +146,8 @@ def prefix_filter_jaccard_join(
         F.col("_na") + F.col("_nb") - inter
     ).cast("double")
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= float(threshold))
     )
@@ -204,7 +209,7 @@ def edit_distance_join(
             "_id",
             F.explode(F.slice("_ord", F.lit(1), F.lit(k * q + 1))).alias("_g"),
         )
-        .join(lens, "_id")
+        .join(lens.hint("shuffle_hash"), "_id")
     )
     a = pref.select(
         F.col("_id").alias("id_a"), F.col("_len").alias("_la"), "_g"
@@ -215,7 +220,7 @@ def edit_distance_join(
     cand = (
         a.alias("a")
         .join(
-            b.alias("b"),
+            b.alias("b").hint("shuffle_hash"),
             (F.col("a._g") == F.col("b._g"))
             & (F.col("a.id_a") < F.col("b.id_b"))
             & (F.abs(F.col("a._la") - F.col("b._lb")) <= k),
@@ -227,11 +232,14 @@ def edit_distance_join(
     # shared grams), so these rows — alphabet-bounded at web scale — join
     # EVERY string in their +-k length window and rely on verification
     # alone.  Exploding the short side to its 2k+1 candidate lengths keeps
-    # the join an equi-join (no range condition), so AQE can still
-    # broadcast the exploded short side.
+    # the join an equi-join (no range condition).  Statically the join is
+    # pinned shuffle_hash like everything else here — Catalyst's static
+    # size estimate could pick the corpus-cardinality `lens` side as the
+    # build; AQE converts the shuffle to a runtime broadcast of the short
+    # side when it measures it tiny, which is the only trustworthy signal.
     short = (
         ordered.where(F.col("_n") <= k * q)
-        .join(lens, "_id")
+        .join(lens.hint("shuffle_hash"), "_id")
         .select(
             "_id",
             F.explode(
@@ -243,7 +251,7 @@ def edit_distance_join(
     short_cand = (
         short.alias("s")
         .join(
-            lens.alias("l"),
+            lens.alias("l").hint("shuffle_hash"),
             (F.col("s._len2") == F.col("l._len"))
             & (F.col("s._id") != F.col("l._id")),
         )
@@ -256,8 +264,8 @@ def edit_distance_join(
     sa = strs.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     sb = strs.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -579,6 +579,31 @@ def main() -> None:
         else "update_components plan grew a Window or Cartesian node",
     )
 
+    # 23. lossless similarity joins (q104 prefix-filter Jaccard, q105
+    # qgram edit-distance): every annotation table in these plans —
+    # the DF/vocabulary table (one row per distinct token), the
+    # token-set / length / string side tables (one row per record) —
+    # is corpus- or vocabulary-cardinality and must NEVER broadcast.
+    # Catalyst would happily broadcast them off small-scale stats, so
+    # the operator pins shuffle_hash; assert no BroadcastHashJoin (or
+    # BroadcastNLJ/Cartesian) survives in either plan.
+    for qname, fn in (
+        ("q104", E.q104_simjoin_jaccard),
+        ("q105", E.q105_edit_distance_join),
+    ):
+        e_sj = explained_of(fn(spark, SF)).lower()
+        ok_sj = (
+            "broadcastexchange" not in e_sj
+            and "cartesianproduct" not in e_sj
+        )
+        check(
+            f"simjoin_no_broadcast_{qname}",
+            ok_sj,
+            "vocabulary/record annotation joins are all shuffle-hash"
+            if ok_sj
+            else f"a broadcast/Cartesian leaked into the {qname} plan",
+        )
+
     if FAILURES:
         print(f"\n{len(FAILURES)} plan properties FAILED: {FAILURES}")
         sys.exit(1)
