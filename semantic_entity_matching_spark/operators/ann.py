@@ -39,27 +39,24 @@ def ranked_topk(scored: DataFrame, k: int, query_col: str = "query_id") -> DataF
     """Per-query top-k of a ``(query_id, candidate_id, score)`` table
     WITHOUT a candidate-set-sized sort partition.
 
-    A single window per query sorts that query's whole candidate set in
-    ONE task — corpus-cardinality for brute force, and window partitions
-    cannot be AQE-split.  Two-phase salted form instead: rank within
-    ``(query, spark_partition_id)`` (each group bounded by its input
-    partition's slice), keep <= k per group, then merge the
-    <= k * num_partitions survivors in a final per-query window.  Exact
-    under the (score desc, candidate_id asc) total order: every global
-    top-k row ranks <= k within its own partition, so phase 1 never
-    drops a winner; ties resolve identically because both phases use the
-    same total order.  Output is partitioning-independent."""
-    part = scored.withColumn("_pid", F.spark_partition_id())
-    w1 = Window.partitionBy(query_col, "_pid").orderBy(
-        F.desc("score"), F.asc("candidate_id")
-    )
-    pruned = (
-        part.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .drop("_pid", "_r1")
-    )
+    The scale hazard is a single window per query sorting that query's
+    whole candidate set in ONE task (corpus-cardinality for brute force;
+    window partitions cannot be AQE-split).  Spark 3.5+/4.x removes it in
+    the engine: ``row_number() <= k`` triggers the InferWindowGroupLimit
+    rule, which inserts a map-side ``WindowGroupLimit(Partial)`` BEFORE
+    the exchange — each input partition forwards at most k rows per query
+    — and a ``WindowGroupLimit(Final)`` after it, so the per-query window
+    task sees <= k * num_input_partitions rows, never the candidate set.
+    This is exactly the round-5 manual salted two-phase plan
+    (rank within (query, spark_partition_id), keep k, merge), minus the
+    extra ``_pid`` exchange and two of its four sorts — the engine's
+    partial limit reuses the map stage it already has.  The plan shape
+    (WindowGroupLimit Partial present, single Exchange) is pinned by
+    tools/plan_audit.py; ties resolve identically because both phases use
+    the same (score desc, candidate_id asc) total order, so output is
+    partitioning-independent."""
     return (
-        pruned.withColumn("rank", F.row_number().over(_rank_window(query_col)))
+        scored.withColumn("rank", F.row_number().over(_rank_window(query_col)))
         .where(F.col("rank") <= k)
         .select(query_col, "candidate_id", "score", "rank")
     )
@@ -110,10 +107,15 @@ def brute_force_topk(
             ["query_id", "candidate_id"],
             "left_anti",
         )
-    scored = joined.withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
     # a null embedding on either side cannot be scored: drop the row rather
-    # than rank it (engines disagree on NULL ordering in DESC windows)
-    scored = scored.where(F.col("score").isNotNull())
+    # than rank it (engines disagree on NULL ordering in DESC windows).
+    # The filter runs on the INPUT columns, not on the UDF output —
+    # cosine_udf returns null exactly when an input is null, but filtering
+    # its output makes Catalyst evaluate the UDF twice (once under the
+    # pushed-down filter, once in the projection — guide §4.4), doubling
+    # the Python cosine work.  Same rows survive either way.
+    joined = joined.where(F.col("_qv").isNotNull() & F.col("_cv").isNotNull())
+    scored = joined.withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
     # salted two-phase top-k: the corpus-cardinality per-query candidate
@@ -211,8 +213,10 @@ def lsh_topk(
     scored = (
         cand.join(q, "query_id")
         .join(c, "candidate_id")
+        # null-filter the inputs, not the UDF output (guide §4.4: an
+        # output filter re-evaluates the UDF below the pushed filter)
+        .where(F.col("_qv").isNotNull() & F.col("_cv").isNotNull())
         .withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
-        .where(F.col("score").isNotNull())
     )
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))
@@ -416,8 +420,10 @@ def ivf_topk(
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "candidate_id")
+        # null-filter the inputs, not the UDF output (guide §4.4: an
+        # output filter re-evaluates the UDF below the pushed filter)
+        .where(F.col("_qv").isNotNull() & F.col("_cv").isNotNull())
         .withColumn("score", cosine_udf(F.col("_qv"), F.col("_cv")))
-        .where(F.col("score").isNotNull())
     )
     if score_round is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_round))

@@ -198,8 +198,16 @@ def minhash_block_keys(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            # Per-document Python does ONLY the signature math; the band
+            # fold runs once per batch on a stacked (n_sigs, bands, rows)
+            # matrix and the key STRING never exists in Python at all —
+            # the old formulation appended 2 × 16 f-strings per document
+            # (hex-formatted, list-appended row by row), which profiled as
+            # a third of this stage.  Emitting (prefix, band, hash) typed
+            # columns moves the formatting into JVM codegen (guide §4.2).
             ids: list = []
-            keys: list[str] = []
+            pfxs: list[str] = []
+            sig_rows: list[np.ndarray] = []
             for rid, text in zip(batch[id_col], batch[text_col]):
                 if text is None or (isinstance(text, float) and pd.isna(text)):
                     continue
@@ -212,25 +220,69 @@ def minhash_block_keys(
                     a, b = perms[prefix]
                     # scheme selection with a 2× gray zone (see thresholds
                     # above): small -> classic, large -> OPH, gray -> both
-                    sigs = []
                     if hashes.size < CLASSIC_MAX_ITEMS_PER_BIN * cfg.num_perm:
-                        sigs.append((prefix, _classic_signature(hashes, cfg.num_perm, a, b)))
+                        ids.append(rid)
+                        pfxs.append(prefix)
+                        sig_rows.append(_classic_signature(hashes, cfg.num_perm, a, b))
                     if hashes.size >= OPH_MIN_ITEMS_PER_BIN * cfg.num_perm:
-                        sigs.append((prefix + "o", _oph_signature(hashes, cfg.num_perm, a[0], b[0])))
-                    for pfx, sig in sigs:
-                        bands = sig.reshape(cfg.num_bands, cfg.rows_per_band)
-                        # stable band hash: fold band rows with FNV mixing
-                        band_hash = bands[:, 0].copy()
-                        for r in range(1, cfg.rows_per_band):
-                            band_hash = (band_hash * np.uint64(1099511628211) + bands[:, r]) % _MERSENNE
-                        for band_idx in range(cfg.num_bands):
-                            ids.append(rid)
-                            keys.append(f"{pfx}:{band_idx}:{band_hash[band_idx]:x}")
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype=batch[id_col].dtype),
-                                "block_key": keys})
+                        ids.append(rid)
+                        pfxs.append(prefix + "o")
+                        sig_rows.append(_oph_signature(hashes, cfg.num_perm, a[0], b[0]))
+            if sig_rows:
+                # stable band hash: fold band rows with FNV mixing — same
+                # uint64 element-wise arithmetic as the per-doc loop, just
+                # batched (bit-identical keys)
+                mat = np.vstack(sig_rows).reshape(
+                    len(sig_rows), cfg.num_bands, cfg.rows_per_band
+                )
+                band_hash = mat[:, :, 0].copy()
+                for r in range(1, cfg.rows_per_band):
+                    band_hash = (
+                        band_hash * np.uint64(1099511628211) + mat[:, :, r]
+                    ) % _MERSENNE
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(
+                            np.repeat(np.asarray(ids, dtype=object), cfg.num_bands),
+                            dtype=batch[id_col].dtype,
+                        ),
+                        "_pfx": np.repeat(
+                            np.asarray(pfxs, dtype=object), cfg.num_bands
+                        ),
+                        "_band": np.tile(
+                            np.arange(cfg.num_bands, dtype=np.int32), len(sig_rows)
+                        ),
+                        # < 2^61 (mod Mersenne), so the int64 cast is lossless
+                        "_bh": band_hash.reshape(-1).astype(np.int64),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=batch[id_col].dtype),
+                        "_pfx": pd.Series([], dtype=object),
+                        "_band": pd.Series([], dtype="int32"),
+                        "_bh": pd.Series([], dtype="int64"),
+                    }
+                )
 
-    schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, block_key string"
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()},"
+        " _pfx string, _band int, _bh bigint"
+    )
+    raw = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    # 'pfx:band:hex' assembled in whole-stage codegen; lower(hex(bigint))
+    # equals Python's f"{v:x}" for the 0 <= v < 2^61 band hashes (no
+    # leading zeros, lowercase), pinned by the signature-oracle pytest.
+    return raw.select(
+        F.col(id_col),
+        F.concat_ws(
+            ":",
+            F.col("_pfx"),
+            F.col("_band").cast("string"),
+            F.lower(F.hex(F.col("_bh"))),
+        ).alias("block_key"),
+    )
 
 
 def sorted_neighborhood_keys(

@@ -25,10 +25,20 @@ from semantic_entity_matching_spark.plans.checkpoint import CheckpointManager
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
-    """(u,v) -> both directions, self-loops removed."""
+    """(u,v) -> both directions, self-loops removed.
+
+    Deliberately NO ``distinct`` here: it cost a full exchange of 2|E|
+    rows per superstep and bounded nothing — the star outputs are
+    deduplicated anyway, and duplicate (u,v) rows change neither the
+    ``min`` aggregate nor the join's fan-out bound.  Every superstep's
+    output carries id_a > id_b strictly (large-star emits (v, m) with
+    v > u >= m; small-star emits v <= u, m < v and filters m == v), so
+    from superstep 1 on the union cannot even produce a duplicate
+    direction; only a raw input containing both (a,b) and (b,a) yields
+    transient duplicates, which the star-output ``distinct`` removes."""
     fwd = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     rev = edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    return fwd.unionByName(rev).where(F.col("u") != F.col("v")).distinct()
+    return fwd.unionByName(rev).where(F.col("u") != F.col("v"))
 
 
 def _neighborhood_min(sym: DataFrame) -> DataFrame:

@@ -130,6 +130,16 @@ def minhash_near_duplicates(
     loss."""
     lsh = lsh or LSHConfig()
     blocks = minhash_block_keys(df, id_col=id_col, text_col=text_col, config=lsh)
+    # The pair generator SELF-JOINS the block table, and each join side —
+    # plus each side's block-size annotation aggregate — re-executes the
+    # whole upstream subtree: without a lineage cut the mapInPandas
+    # signature pass (the most expensive Python stage of this operator)
+    # ran FOUR times per query (4 MapInPandas nodes over the same scan in
+    # the physical plan).  An eager localCheckpoint materializes the
+    # narrow (id, block_key) rows once; every downstream consumer reads
+    # the cached RDD (freed by the ContextCleaner when the plan dies).
+    # run_pipeline gets the same effect from its stage checkpoints.
+    blocks = blocks.localCheckpoint(eager=True)
     if jaccard_threshold > 0.0:
         counts = df.select(
             F.col(id_col), F.size(_distinct_tokens(text_col)).alias("_ntok")

@@ -31,14 +31,23 @@ DEFAULT_EVAL_SIZE = 50  # reference lib/evaluate.py:119
 # The registry is self-capping: persisting index N+MAX unpersists index N,
 # so a caller that never heard of unpersist_lexical_indexes still holds at
 # most MAX pinned indexes (cleanup does not depend on knowing the helper).
+# Guarded by a lock: concurrent lexical_topk(persist_index=True) calls from
+# several driver threads (guide §2.6 overlapping-jobs pattern) would
+# otherwise race the append/pop.
+import threading
+
 _PERSISTED_INDEXES: list[DataFrame] = []
+_PERSISTED_INDEXES_LOCK = threading.Lock()
 _MAX_PERSISTED_INDEXES = 4
 
 
 def _register_persisted_index(df: DataFrame) -> None:
-    _PERSISTED_INDEXES.append(df)
-    while len(_PERSISTED_INDEXES) > _MAX_PERSISTED_INDEXES:
-        old = _PERSISTED_INDEXES.pop(0)
+    evicted: list[DataFrame] = []
+    with _PERSISTED_INDEXES_LOCK:
+        _PERSISTED_INDEXES.append(df)
+        while len(_PERSISTED_INDEXES) > _MAX_PERSISTED_INDEXES:
+            evicted.append(_PERSISTED_INDEXES.pop(0))
+    for old in evicted:  # unpersist outside the lock (it is a JVM call)
         try:
             old.unpersist(False)
         except Exception:
@@ -50,10 +59,12 @@ def unpersist_lexical_indexes(blocking: bool = False) -> int:
 
     Call after the retrieval results are materialized (the cached index is
     consumed lazily by the returned DataFrame).  Returns the number of
-    indexes released."""
+    indexes released.  Thread-safe."""
+    with _PERSISTED_INDEXES_LOCK:
+        drained = list(_PERSISTED_INDEXES)
+        _PERSISTED_INDEXES.clear()
     n = 0
-    while _PERSISTED_INDEXES:
-        df = _PERSISTED_INDEXES.pop()
+    for df in reversed(drained):
         try:
             df.unpersist(blocking)
         except Exception:  # session already stopped — nothing to release

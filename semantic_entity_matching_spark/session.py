@@ -59,6 +59,17 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled-hash join when
+        # every build-side map partition is under this bound (guide §3.1):
+        # the salted block self-join and the token-array verify joins then
+        # skip two large sorts per join.  Scale-adaptive by construction —
+        # the decision uses RUNTIME partition sizes, so an exabyte-scale
+        # shuffle whose partitions exceed the bound keeps sort-merge (which
+        # spills), while bench/cluster partitions under it get the no-sort
+        # hash build.  Bounded build memory: at most this many bytes per
+        # task get hashed.  Default 0 (off) in Spark; 192m sits well under
+        # the per-task execution memory at 12g/32 cores.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "192m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
