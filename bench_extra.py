@@ -47,16 +47,19 @@ def calibrate() -> None:
     spark = _session()
     spark.read.parquet("/root/testdata/sf0.01/region.parquet").count()
     spark.sparkContext.setJobDescription("calibration: q21@sf0.01")
-    t0 = time.time()
-    _noop(em.queries()["q21_minhash_neardup"](spark, "/root/testdata/sf0.01"))
-    cal = round(time.time() - t0, 3)
+    runs = []
+    for _ in range(3):  # warm-session probe: run 1 pays JVM/codegen warmup
+        t0 = time.time()
+        _noop(em.queries()["q21_minhash_neardup"](spark, "/root/testdata/sf0.01"))
+        runs.append(round(time.time() - t0, 3))
     print(
         json.dumps(
             {
                 "metric": "vm_calibration",
-                "calibration_s": cal,
+                "calibration_s": min(runs[1:]),
+                "runs": runs,
                 "healthy_reference_s": HEALTHY_CALIBRATION_S,
-                "degradation_x": round(cal / HEALTHY_CALIBRATION_S, 2),
+                "degradation_x": round(min(runs[1:]) / HEALTHY_CALIBRATION_S, 2),
             }
         )
     )

@@ -84,12 +84,41 @@ def canonical_text_udf(columns: list[str]) -> Column:
 
     Implemented as one Arrow-batched pandas UDF over a struct of the columns
     so all values cross the JVM→Python boundary in a single Arrow batch.
+
+    The body is a VECTORIZED twin of :func:`canonical_entity_text` (which
+    stays the per-record oracle shared with pytest): per column,
+    ``astype(str)`` renders exactly the values ``str(v)`` renders for the
+    same pandas batch (ints, floats-with-NaN, lists, arrays), ``notna``
+    matches ``is_valid_value`` (None/NaN invalid, list/array cells
+    not-null), and rows accumulate ``"k: v"`` segments joined by newline
+    in column order.  Byte-identity is pinned by
+    tests/test_extract.py::test_canonical_text_udf_matches_python.  The
+    old ``to_dict(orient="records")`` + per-row join was the single most
+    expensive Python stage of the flagship pipeline (measured 1.8 s vs
+    0.9 s for the dim-256 embed UDF at sf0.1).
     """
 
     @pandas_udf(StringType())
     def _extract(batch: pd.DataFrame) -> pd.Series:
-        records = batch.to_dict(orient="records")
-        return pd.Series([canonical_entity_text(r) for r in records])
+        n = len(batch)
+        acc = pd.Series([None] * n, dtype=object)
+        for c in batch.columns:
+            if c.endswith(EMBEDDING_COLUMN_SUFFIX):
+                continue
+            s = batch[c]
+            valid = s.notna().to_numpy()
+            if not valid.any():
+                continue
+            rendered = (c + ": ") + s.astype(str)
+            has = acc.notna().to_numpy()
+            both = valid & has
+            first = valid & ~has
+            if both.any():
+                acc[both] = acc[both] + "\n" + rendered[both]
+            if first.any():
+                acc[first] = rendered[first]
+        # a row with no valid cell renders as "\n".join([]) == ""
+        return acc.fillna("")
 
     return _extract(F.struct(*[F.col(c) for c in columns]))
 

@@ -62,6 +62,89 @@ def ranked_topk(scored: DataFrame, k: int, query_col: str = "query_id") -> DataF
     )
 
 
+# Query batches up to this size score via the grouped one-pass scorer
+# (query matrix broadcast, corpus crosses the Python boundary ONCE);
+# larger query sides fall back to the broadcast-join form.  The bound only
+# gates a driver-side collect the join form would broadcast anyway — 16k
+# queries x dim 1024 float32 is a 64 MB broadcast, comfortably under the
+# join path's own broadcast threshold.
+GROUPED_QUERY_BOUND = 16_384
+
+
+def _grouped_brute_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """(query_id, candidate_id, score) via ONE mapInPandas pass over the
+    corpus, or None when the query side exceeds GROUPED_QUERY_BOUND.
+
+    The broadcast-join form replicates every corpus vector once PER QUERY
+    through the cosine UDF — at 20 queries x 60k docs x dim 1024 that is
+    ~5 GB crossing the JVM->Python boundary for ~250 MB of corpus vectors
+    (measured: the dominant cost of the search/rerank bench query).  Here
+    the query matrix is sc.broadcast to every executor and each corpus
+    batch is scored against ALL queries with one float64
+    ``einsum("ij,kj->ik")`` — bit-identical to the per-pair
+    ``einsum("ij,ij->i")`` the pandas cosine UDF computes (verified
+    empirically; same float64 dot/norm/divide per pair), so ranking and
+    scores are unchanged.  Null corpus vectors are skipped exactly like
+    the join path's input null-filter; null query vectors likewise."""
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).take(GROUPED_QUERY_BOUND + 1)
+    if len(q_rows) > GROUPED_QUERY_BOUND:
+        return None
+    q_rows = [r for r in q_rows if r["_qv"] is not None]
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(corpus_id).alias("candidate_id"), F.col(vec_col).alias("_cv")
+    )
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, candidate_id {cid_type}, score double"
+        )
+    qids = [r["query_id"] for r in q_rows]
+    qmat = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorm = bc.value
+        nq = len(b_qids)
+        qid_arr = np.asarray(b_qids, dtype=object)
+        for batch in batches:
+            vecs = batch["_cv"]
+            mask = vecs.notna()
+            if not mask.any():
+                yield pd.DataFrame(
+                    {"query_id": [], "candidate_id": [], "score": []}
+                )
+                continue
+            mat = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,kj->ik", mat, b_qmat)  # (n, nq)
+            norms = np.linalg.norm(mat, axis=1)[:, None] * b_qnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(norms > 0, dots / norms, 0.0)
+            ids = batch.loc[mask, "candidate_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qid_arr, len(ids)),
+                    "candidate_id": np.repeat(ids, nq),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    return c.where(F.col("_cv").isNotNull()).mapInPandas(
+        gen,
+        schema=f"query_id {qid_type}, candidate_id {cid_type}, score double",
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -73,20 +156,41 @@ def brute_force_topk(
     score_round: int | None = None,
     exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k.  The query side is broadcast (queries are the
-    small side by construction); the corpus never shuffles.
+    """Exact cosine top-k.  The query side is small by construction (the
+    join form broadcasts it; the grouped form collects + re-broadcasts it
+    under the same assumption); the corpus never shuffles.
 
     ``score_round``: round the cosine BEFORE ranking so near-ties (< 1 ulp
     apart) become exact ties broken by candidate_id — makes the top-k set
     reproducible across engines/partitionings (SURVEY §7.3 hard part (c)).
 
     ``exclude_pairs`` — a ``(query_id, candidate_id)`` table anti-joined
-    off the candidate stream BEFORE scoring (so excluded rows never pay a
-    cosine and can never displace a result): the hook hard-negative
-    mining uses to remove known positives.  Joined as an ordinary hash
-    anti-join — the pair table may be corpus-scale (one positive per
-    record), never force-broadcast.
+    off the candidate stream before RANKING (so excluded rows can never
+    displace a result): the hook hard-negative mining uses to remove known
+    positives.  Joined as an ordinary hash anti-join — the pair table may
+    be corpus-scale (one positive per record), never force-broadcast.
     """
+    grouped = _grouped_brute_scores(queries, corpus, query_id, corpus_id, vec_col)
+    if grouped is not None:
+        scored = grouped
+        if exclude_self:
+            scored = scored.where(F.col("query_id") != F.col("candidate_id"))
+        if exclude_pairs is not None:
+            missing = {"query_id", "candidate_id"} - set(exclude_pairs.columns)
+            if missing:
+                raise ValueError(
+                    f"exclude_pairs needs columns query_id/candidate_id, missing {sorted(missing)}"
+                )
+            scored = scored.join(
+                exclude_pairs.select("query_id", "candidate_id"),
+                ["query_id", "candidate_id"],
+                "left_anti",
+            )
+        if score_round is not None:
+            scored = scored.withColumn(
+                "score", F.round(F.col("score"), score_round)
+            )
+        return ranked_topk(scored, k)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     )

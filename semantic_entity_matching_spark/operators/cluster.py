@@ -87,12 +87,70 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+# Edge sets at or below this size fold to an exact driver-side union-find
+# instead of distributed supersteps (only when the caller supplies the edge
+# count, so the decision never costs a job).  Rationale: each large/small-
+# star superstep is ~6 exchanges + a lineage cut + a convergence aggregate
+# — multiple scheduler round-trips that dwarf the actual work once the
+# edge set is small (measured: ~2.5 s for a few hundred edges at sf0.1).
+# 200k edges is ~10 MB on the driver (guide §5 bounded-collect budget, the
+# same class as the EM pattern tables); larger graphs take the superstep
+# path unchanged.  The fold is EXACT: same membership (self-loop-only
+# nodes excluded, as the symmetrize step drops them), same min-id label
+# (Python str ordering == Spark's UTF8 binary ordering, since UTF-8 byte
+# order preserves codepoint order) — pinned by pytest equality on random
+# graphs.
+CC_DRIVER_EDGE_BOUND = 200_000
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact (id, component) of a SMALL edge set via driver union-find."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.select("id_a", "id_b").collect():
+        a, b = r[0], r[1]
+        if a == b:
+            continue  # self-loops carry no connectivity (symmetrize drops them)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur_min = comp_min.get(root)
+        if cur_min is None or node < cur_min:
+            comp_min[root] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    id_type = edges.schema["id_a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     checkpoint: CheckpointManager | None = None,
     checkpoint_table: str = "cc_edges",
     resume: bool = False,
+    n_edges: int | None = None,
+    driver_edge_bound: int = CC_DRIVER_EDGE_BOUND,
 ) -> DataFrame:
     """edges(id_a, id_b) -> assignments(id, component) where component is the
     minimum id in each connected component.
@@ -100,6 +158,11 @@ def connected_components(
     With ``checkpoint`` set, every superstep's edge set is committed as a
     snapshot; ``resume=True`` restarts from the latest committed superstep
     (kill-and-resume safe, per north_rule).
+
+    ``n_edges`` (when the caller already knows the edge count — run_pipeline
+    does, from the edges stage counter) enables the exact driver union-find
+    fold for small graphs; see CC_DRIVER_EDGE_BOUND.  Resume of a partially
+    checkpointed superstep run always stays on the superstep path.
     """
     spark = edges.sparkSession
     start_step = 0
@@ -107,6 +170,8 @@ def connected_components(
         start_step = (checkpoint.latest_step(checkpoint_table) or 0) + 1
         cur = checkpoint.read(checkpoint_table)
     else:
+        if n_edges is not None and n_edges <= driver_edge_bound:
+            return _driver_union_find(edges)
         cur = edges.select("id_a", "id_b").distinct()
 
     prev_sig: tuple[int, int] | None = None

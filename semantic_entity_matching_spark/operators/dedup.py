@@ -140,10 +140,23 @@ def minhash_near_duplicates(
     # the cached RDD (freed by the ContextCleaner when the plan dies).
     # run_pipeline gets the same effect from its stage checkpoints.
     blocks = blocks.localCheckpoint(eager=True)
-    if jaccard_threshold > 0.0:
-        counts = df.select(
-            F.col(id_col), F.size(_distinct_tokens(text_col)).alias("_ntok")
+    # ONE tokenization pass serves everything downstream: the per-doc
+    # distinct-token counts ride the pair self-join as annotations (both
+    # sides) and the hashed token arrays feed the verify joins (both
+    # sides) — without the shared checkpoint the corpus was tokenized
+    # FOUR times per query.  ~16 bytes/token cached; freed with the plan.
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                _distinct_tokens(text_col), lambda x: F.xxhash64(x)
+            ).alias("_tok"),
         )
+        .withColumn("_ntok", F.size("_tok"))
+        .localCheckpoint(eager=True)
+    )
+    if jaccard_threshold > 0.0:
+        counts = toks.select(F.col(id_col), F.col("_ntok"))
         pairs = generate_candidate_pairs(
             blocks, id_col=id_col, config=pairgen,
             annotations=counts,
@@ -159,7 +172,7 @@ def minhash_near_duplicates(
     # pairs are already ratio-pruned above (or the threshold is 0 and no
     # pruning is sound), so the verifier runs without its own prefilter
     verified = ngram_jaccard_verify(
-        pairs, df, id_col=id_col, text_col=text_col, n=1
+        pairs, df, id_col=id_col, text_col=text_col, n=1, tokens=toks
     )
     return verified.where(F.col("jaccard") >= jaccard_threshold)
 
@@ -404,8 +417,15 @@ def ngram_jaccard_verify(
     text_col: str = "text",
     n: int = 1,
     min_jaccard: float | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Attach true token-ngram Jaccard to candidate (id_a, id_b) pairs.
+
+    ``tokens`` (unigram path only): a precomputed ``(id, _tok, _ntok)``
+    table — hashed distinct-token arrays plus their sizes, exactly as
+    built below — so a caller that already materialized it (the minhash
+    operator tokenizes once for counts AND verify) avoids re-tokenizing
+    the corpus per join side.
 
     Unigrams (the default): tokenization happens ONCE PER DOCUMENT (not per
     pair), tokens are hashed to ``array<bigint>`` (``xxhash64``) so the
@@ -427,12 +447,14 @@ def ngram_jaccard_verify(
     their true jaccard as usual.  The pruned pairs are simply absent from
     the output (they could only ever carry jaccard < min_jaccard)."""
     if n <= 1:
-        toks = records.select(
-            F.col(id_col),
-            F.transform(
-                _distinct_tokens(text_col), lambda x: F.xxhash64(x)
-            ).alias("_tok"),
-        ).withColumn("_ntok", F.size("_tok"))  # null text -> NULL (ANSI)
+        toks = tokens
+        if toks is None:
+            toks = records.select(
+                F.col(id_col),
+                F.transform(
+                    _distinct_tokens(text_col), lambda x: F.xxhash64(x)
+                ).alias("_tok"),
+            ).withColumn("_ntok", F.size("_tok"))  # null text -> NULL (ANSI)
 
         if min_jaccard is not None and min_jaccard > 0.0:
             # counts-only prefilter join: (id, _ntok) is a handful of bytes

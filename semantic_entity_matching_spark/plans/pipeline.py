@@ -600,6 +600,9 @@ def run_pipeline(
             max_iterations=config.max_cc_iterations,
             checkpoint=checkpoint,
             resume=resume,
+            # the edges stage already counted its rows: a small edge set
+            # folds to the exact driver union-find (no superstep jobs)
+            n_edges=counters.get("edges_emitted"),
         ),
         "records_clustered",
     )

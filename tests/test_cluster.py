@@ -55,6 +55,42 @@ def test_connected_components_large_random(spark):
     assert len({v for v in got.values()}) == 40
 
 
+def test_driver_fold_equals_superstep_path(spark):
+    """The small-graph driver union-find (n_edges <= bound) must return
+    EXACTLY the superstep result: same node membership (self-loop-only
+    nodes excluded), same min-id labels, on strings and on bigints."""
+    import random
+
+    random.seed(11)
+    edges = [
+        (f"n{random.randrange(60):02d}", f"n{random.randrange(60):02d}")
+        for _ in range(120)
+    ] + [("s1", "s1"), ("zz", "zz")]  # self-loop-only nodes: must be absent
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    distributed = {
+        (r["id"], r["component"])
+        for r in connected_components(df, n_edges=None).collect()
+    }
+    folded = {
+        (r["id"], r["component"])
+        for r in connected_components(df, n_edges=len(edges)).collect()
+    }
+    assert folded == distributed
+    assert not any(i in ("s1", "zz") for i, _ in folded)
+
+    int_edges = [(random.randrange(50), random.randrange(50)) for _ in range(80)]
+    dfi = spark.createDataFrame(int_edges, "id_a long, id_b long")
+    got_d = {
+        (r["id"], r["component"])
+        for r in connected_components(dfi, n_edges=None).collect()
+    }
+    got_f = {
+        (r["id"], r["component"])
+        for r in connected_components(dfi, n_edges=len(int_edges)).collect()
+    }
+    assert got_f == got_d
+
+
 def test_clusters_with_singletons(spark):
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
     ids = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")

@@ -121,13 +121,30 @@ def main() -> None:
         f"InMemoryTableScan x{n_mem}, documents parquet scans x{n_docscan}",
     )
 
-    # 4. q17 broadcasts the query side
+    # 4. q17: grouped brute-force scoring — the corpus crosses the Python
+    # boundary ONCE in a single MapInPandas (the query matrix rides an
+    # sc.broadcast, replacing the round-5 broadcast join that replicated
+    # every corpus vector per query), no Exchange may sit between the scan
+    # and the scorer, and the per-query top-k must carry the map-side
+    # WindowGroupLimit partial (no full per-query sort task).
     q17 = E.q17_ann_topk(spark, SF)
     e17 = explained_of(q17)
+    # the formatted tree prints root-first, so the scorer's UPSTREAM
+    # (scan side) is the tree text AFTER its line — that slice must hold
+    # no Exchange
+    tree17 = e17.split("\n\n")[0].splitlines()
+    mip_idx = [i for i, ln in enumerate(tree17) if "MapInPandas" in ln]
+    below = "\n".join(tree17[mip_idx[0] + 1 :]) if mip_idx else ""
     check(
-        "q17_query_side_broadcast",
-        "BroadcastExchange" in e17 or "BroadcastNestedLoopJoin" in e17,
-        "BroadcastExchange present" if "BroadcastExchange" in e17 else "none",
+        "q17_grouped_scorer_no_corpus_shuffle",
+        bool(mip_idx) and "Exchange" not in below,
+        f"MapInPandas x{len(mip_idx)}, exchanges below scorer: "
+        f"{below.count('Exchange')}",
+    )
+    check(
+        "q17_topk_window_group_limit_partial",
+        "WindowGroupLimit" in e17 and "Partial" in e17,
+        f"WindowGroupLimit x{e17.count('WindowGroupLimit')}",
     )
 
     # 5. q01 agg inside whole-stage codegen (explain mode "codegen" reports
