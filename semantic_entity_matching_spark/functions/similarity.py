@@ -55,6 +55,16 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out).where(mask, other=None)
 
 
+# Filter-safe variant: when a FILTER references the UDF's output column,
+# Catalyst pushes the filter down and re-evaluates the UDF under it — two
+# ArrowEvalPython nodes, every row paying the cosine twice (guide §4.4).
+# Marking the UDF non-deterministic forbids that duplication (the function
+# is in fact deterministic; the marker only constrains the optimizer).
+# Use THIS one wherever the cosine feeds a threshold filter in the same
+# plan; keep the plain udf elsewhere so unrelated filters can still push.
+cosine_udf_filter_safe = cosine_udf.asNondeterministic()
+
+
 def cosine_expr(a: str | Column, b: str | Column) -> Column:
     """JVM-native cosine (no Python boundary) for SQL-oracle parity paths.
 

@@ -129,6 +129,11 @@ def minhash_near_duplicates(
     5.7M -> 2.9M rows) and before any token array is joined — zero recall
     loss."""
     lsh = lsh or LSHConfig()
+    # single-split corpora would run the signature pass (and the shared
+    # tokenization below) in one task; no-op when the scan is parallel
+    from semantic_entity_matching_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     blocks = minhash_block_keys(df, id_col=id_col, text_col=text_col, config=lsh)
     # The pair generator SELF-JOINS the block table, and each join side —
     # plus each side's block-size annotation aggregate — re-executes the
@@ -601,7 +606,14 @@ def simhash_near_duplicates(
     df = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
+    # single-split corpora would run the simhash pass in one task
+    from semantic_entity_matching_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     hashed = with_simhash(df, id_col, text_col).select(id_col, "simhash")
+    # the band self-join below re-executes its upstream once per side:
+    # cut lineage so the Python simhash pass runs once, not twice
+    hashed = hashed.localCheckpoint(eager=True)
     width = 64 // n_bands
     bands = hashed.select(
         F.col(id_col),
@@ -697,14 +709,23 @@ def embedding_near_duplicates(
     a = base.select(*join_keys, F.col(id_col).alias("id_a"), F.col(vec_col_eff).alias("_va"))
     b = base.select(*join_keys, F.col(id_col).alias("id_b"), F.col(vec_col_eff).alias("_vb"))
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    # Python-UDF scores use the filter-safe (non-deterministic-marked)
+    # variants: the threshold filter below otherwise makes Catalyst
+    # evaluate the UDF twice per row (guide §4.4; measured: 4
+    # ArrowEvalPython nodes in the q20 plan, 2 after the fix)
     if quantization in ("binary", "ubinary"):
         # sign-sketch cosine estimate (shared expression; bit width comes
-        # from the column itself so the plan stays schema-driven)
+        # from the column itself so the plan stays schema-driven) — JVM
+        # codegen, subexpression elimination already dedups it
         cos = binary_cosine_from_packed(F.col("_va"), F.col("_vb"))
     elif quantization == "int8":
-        cos = int8_cosine_udf(F.col("_va"), F.col("_vb"))
+        cos = int8_cosine_udf.asNondeterministic()(F.col("_va"), F.col("_vb"))
     else:
-        cos = cosine_udf(F.col("_va"), F.col("_vb"))
+        from semantic_entity_matching_spark.functions.similarity import (
+            cosine_udf_filter_safe,
+        )
+
+        cos = cosine_udf_filter_safe(F.col("_va"), F.col("_vb"))
     if score_round is not None:
         cos = F.round(cos, score_round)
     return (

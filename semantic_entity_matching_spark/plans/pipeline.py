@@ -141,25 +141,40 @@ def prepare_records(
     pages: DataFrame,
     config: MatchConfig,
     provider: EmbeddingProvider | None = None,
+    with_entity_text: bool = True,
 ) -> DataFrame:
     """url + canonical entity text + embedding.
 
     Column pruning matters at 100 TB: ``html`` (the fat binary column) is
     dropped before any UDF so the parquet scan never materializes it —
     verify with .explain(): ReadSchema excludes html.
+
+    ``with_entity_text=False`` omits the rendered canonical text column:
+    run_pipeline passes it because NO downstream stage consumes
+    entity_text (blocking and rerank read ``text_col``; the embedding is
+    computed from ``text_col`` too), so materializing it into the records
+    checkpoint paid a full UDF pass plus a text-sized copy in every
+    snapshot for nothing.  External callers keep the rendered column by
+    default.
     """
     # token-hash (feature hashing) is the default: deterministic AND
     # similarity-preserving for near-duplicates.  The md5 scheme
     # (HashEmbeddingProvider) only detects exact duplicates; a real
     # sentence-transformer slots in here on a cluster.
     provider = provider or TokenHashEmbeddingProvider(dim=config.embedding_dim)
+    # a single-file corpus scans as one split and would run the extract +
+    # embed UDF chain single-task; no-op when the scan already parallel
+    from semantic_entity_matching_spark.session import ensure_min_parallelism
+
+    pages = ensure_min_parallelism(pages)
     cols = [c for c in config.extract_cols if c in pages.columns]
-    return (
-        pages.select(*dict.fromkeys([config.id_col, config.text_col, *cols]))
-        .withColumn("entity_text", canonical_text_udf(cols))
-        .withColumn("embedding", provider.udf()(F.col(config.text_col)))
-        .select(config.id_col, config.text_col, "entity_text", "embedding")
-    )
+    out = pages.select(*dict.fromkeys([config.id_col, config.text_col, *cols]))
+    keep = [config.id_col, config.text_col]
+    if with_entity_text:
+        out = out.withColumn("entity_text", canonical_text_udf(cols))
+        keep.append("entity_text")
+    out = out.withColumn("embedding", provider.udf()(F.col(config.text_col)))
+    return out.select(*keep, "embedding")
 
 
 def score_pairs(
@@ -245,7 +260,9 @@ def score_pairs(
         F.col("_rid").alias("id_b"), F.col("_q").alias("_qb")
     ).hint("shuffle_hash")
     if config.quantization == "int8":
-        approx = int8_cosine_udf(F.col("_qa"), F.col("_qb"))
+        # filter-safe marker: the approx-cutoff filter below would
+        # otherwise double-evaluate the UDF (guide §4.4)
+        approx = int8_cosine_udf.asNondeterministic()(F.col("_qa"), F.col("_qb"))
     else:
         approx = binary_cosine_from_packed(F.col("_qa"), F.col("_qb"))
     kept = (
@@ -461,7 +478,9 @@ def run_pipeline(
         return df
 
     records = stage(
-        "records", lambda: prepare_records(pages, config, provider), "records_prepared"
+        "records",
+        lambda: prepare_records(pages, config, provider, with_entity_text=False),
+        "records_prepared",
     )
     blocks = stage(
         "blocks",

@@ -30,6 +30,28 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def ensure_min_parallelism(df, min_fraction: float = 0.5):
+    """Repartition ``df`` to the session default parallelism — but ONLY
+    when its current partition count is below ``min_fraction`` of it.
+
+    A small corpus in one parquet file scans as ONE split, and every
+    Python stage chained on that scan (embed UDFs, the MinHash/SimHash
+    signature passes) then runs in a single task regardless of core
+    count — measured: the flagship pipeline's records+blocks stages were
+    single-threaded at the bench scale.  One narrow shuffle of the raw
+    rows buys full parallelism for the whole downstream UDF chain.  At
+    production scale the file count already provides the partitions, the
+    guard is false, and NO shuffle is added (guide §2.4: don't repartition
+    'for parallelism' when the layout already has it).  Deterministic:
+    round-robin repartition keeps Spark's sort-before-repartition, and
+    every consumer downstream is per-row or set/aggregate-based."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 def get_session(
     master: str | None = None,
     app_name: str = "semantic-entity-matching-spark",
