@@ -228,12 +228,31 @@ def cross_corpus_near_duplicates(
     cfg = pairgen or PairGenConfig()
     rtext = ref_text_col or text_col
 
-    cb = minhash_block_keys(
-        corpus, id_col=corpus_id, text_col=text_col, config=lsh
-    ).select(F.col(corpus_id).alias("_ida"), "block_key")
-    rb = minhash_block_keys(
-        reference, id_col=ref_id, text_col=rtext, config=lsh
-    ).select(F.col(ref_id).alias("_idb"), "block_key")
+    # single-split inputs would run the signature/tokenize passes in one
+    # task; no-op when the scans are already parallel
+    from semantic_entity_matching_spark.session import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)
+    reference = ensure_min_parallelism(reference)
+
+    # each side's key table feeds its Zipf-head aggregate AND the block
+    # join; each side's token table feeds the ratio counts AND the verify
+    # join — cut lineage once per side so the Python signature pass and
+    # the tokenization run once, not once per consumer
+    cb = (
+        minhash_block_keys(
+            corpus, id_col=corpus_id, text_col=text_col, config=lsh
+        )
+        .select(F.col(corpus_id).alias("_ida"), "block_key")
+        .localCheckpoint(eager=True)
+    )
+    rb = (
+        minhash_block_keys(
+            reference, id_col=ref_id, text_col=rtext, config=lsh
+        )
+        .select(F.col(ref_id).alias("_idb"), "block_key")
+        .localCheckpoint(eager=True)
+    )
 
     annot_threshold = min(cfg.hot_block_threshold, cfg.max_block_size)
     c_head = (
@@ -277,16 +296,22 @@ def cross_corpus_near_duplicates(
             .drop("_cn", "_rn")
         )
 
-    # ratio-bound counts ride the block join as annotations (id-keyed
-    # hash joins, corpus-side tables never force-broadcast)
-    ca = corpus.select(
-        F.col(corpus_id).alias("_ida"),
-        F.size(_distinct_tokens(text_col)).alias("_ntok_a"),
-    )
-    rcounts = reference.select(
-        F.col(ref_id).alias("_idb"),
-        F.size(_distinct_tokens(rtext)).alias("_ntok_b"),
-    )
+    # ONE tokenization pass per side: the hashed arrays serve the verify
+    # joins below and their sizes serve the ratio-bound annotations here
+    # (id-keyed hash joins, corpus-side tables never force-broadcast)
+    def toks(df: DataFrame, idc: str, tc: str, alias: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(alias),
+            F.transform(_distinct_tokens(tc), lambda x: F.xxhash64(x)).alias(
+                f"_t{alias}"
+            ),
+            F.size(_distinct_tokens(tc)).alias(f"_n{alias}"),
+        )
+
+    ta = toks(corpus, corpus_id, text_col, "_ida").localCheckpoint(eager=True)
+    tb = toks(reference, ref_id, rtext, "_idb").localCheckpoint(eager=True)
+    ca = ta.select(F.col("_ida"), F.col("_n_ida").alias("_ntok_a"))
+    rcounts = tb.select(F.col("_idb"), F.col("_n_idb").alias("_ntok_b"))
     left = (
         annotate(cb)
         .join(ca, "_ida")
@@ -320,19 +345,9 @@ def cross_corpus_near_duplicates(
         )
     cand = cand.select("_ida", "_idb").dropDuplicates(["_ida", "_idb"])
 
-    # two-frame unigram verify: same hashed-token JVM set algebra and
-    # null/empty semantics as ngram_jaccard_verify(n=1)
-    def toks(df: DataFrame, idc: str, tc: str, alias: str) -> DataFrame:
-        return df.select(
-            F.col(idc).alias(alias),
-            F.transform(_distinct_tokens(tc), lambda x: F.xxhash64(x)).alias(
-                f"_t{alias}"
-            ),
-            F.size(_distinct_tokens(tc)).alias(f"_n{alias}"),
-        )
-
-    ta = toks(corpus, corpus_id, text_col, "_ida")
-    tb = toks(reference, ref_id, rtext, "_idb")
+    # two-frame unigram verify over the SAME checkpointed token tables:
+    # same hashed-token JVM set algebra and null/empty semantics as
+    # ngram_jaccard_verify(n=1)
     inter = F.size(F.array_intersect(F.col("_t_ida"), F.col("_t_idb")))
     union = F.col("_n_ida") + F.col("_n_idb") - inter
     jac = (
@@ -1298,6 +1313,9 @@ def containment_near_duplicates(
             ).alias("_st")
         )
         .withColumn("_ntok", F.size("_st"))
+        # three consumers (probe, index, verify sets) would each re-run
+        # the tokenize->explode->df->join->agg chain: cut lineage once
+        .localCheckpoint(eager=True)
     )
     # floor((1-t)·n)+1, guarded against float-low rounding (an undersized
     # prefix breaks the pigeonhole guarantee; oversized only costs work)

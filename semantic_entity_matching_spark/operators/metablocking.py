@@ -205,4 +205,8 @@ def meta_block(
         df, id_col=id_col, text_col=text_col, min_token_len=min_token_len
     )
     edges = block_graph_edges(blocks, id_col=id_col, scheme=scheme, config=config)
+    # the pruners consume the edge table 2-3 times (incident-weight union
+    # sides + the final join); without a lineage cut each consumer re-runs
+    # the whole salted pair stream and its aggregate
+    edges = edges.localCheckpoint(eager=True)
     return weighted_edge_prune(edges) if prune == "wep" else weighted_node_prune(edges)

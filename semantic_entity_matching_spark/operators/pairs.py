@@ -46,6 +46,18 @@ class PairGenConfig:
     max_block_size: int = 50
     hot_block_threshold: int = 20  # salt keys with blocks larger than this
     n_salts: int = 8
+    # MEASURED salting (closes the skew loop the round-5 verdict flagged:
+    # operators/stats.py's recommended_salts was computed but nothing
+    # consumed it).  When set, each hot key derives its OWN salt count
+    # from the block-size table the generator already joins:
+    # ceil(block_size / salt_rows_target), clamped to [n_salts, max_salts]
+    # — a 10k-row block fans out over ~10k/target reducers instead of a
+    # static 8, while mildly-hot keys keep the static floor.  The pair
+    # SET is identical for any salt count >= 1 (each unordered pair meets
+    # exactly once; pytest-pinned), so this is purely a skew/latency knob.
+    # None = static n_salts for every hot key (the historical behavior).
+    salt_rows_target: int | None = None
+    max_salts: int = 256
     # Hint-broadcast the FILTERED (block_size > min(hot, max)) size table in
     # the annotation join.  The full size table is corpus-cardinality (one
     # row per distinct key, ~35 keys/doc on the webtext corpus — 3.5e13 rows
@@ -161,10 +173,22 @@ def block_pair_stream(
     # ran TWO separate self-joins (four side exchanges + a union); this one
     # halves the exchange count for identical output.  (NULL block_size —
     # a cold key — falls to the otherwise() branch: salt=1.)
+    if cfg.salt_rows_target is not None:
+        hot_salts = F.least(
+            F.greatest(
+                F.ceil(
+                    F.col("block_size") / F.lit(float(cfg.salt_rows_target))
+                ).cast("int"),
+                F.lit(cfg.n_salts),
+            ),
+            F.lit(cfg.max_salts),
+        )
+    else:
+        hot_salts = F.lit(cfg.n_salts)
     annotated = annotated.withColumn(
         "_nsalts",
         F.when(
-            F.col("block_size") > cfg.hot_block_threshold, F.lit(cfg.n_salts)
+            F.col("block_size") > cfg.hot_block_threshold, hot_salts
         ).otherwise(F.lit(1)),
     )
 

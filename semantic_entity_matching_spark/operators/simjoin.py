@@ -95,7 +95,9 @@ def prefix_filter_jaccard_join(
         )
         .where(F.size("_tok") > 0)
     )
-    ordered = _df_ordered_tokens(toks)
+    # four consumers (both prefix sides, both verify sides) would each
+    # re-run the tokenize->df->order chain: cut lineage once
+    ordered = _df_ordered_tokens(toks).localCheckpoint(eager=True)
     # prefix length |x| - ceil(t|x|) + 1: the rarest tokens whose absence
     # from the other side would already cap jaccard below t
     plen = (
@@ -187,9 +189,15 @@ def edit_distance_join(
     ANY signature scheme ("a" vs "" is distance 1 with zero shared grams),
     so they take the EDJoin short-string corner case: each joins every
     string whose length is within ``k`` via an exploded length-window key
-    and goes straight to verification.  At web scale that stratum is
-    bounded by the alphabet (length <= k*q + q - 1 ≈ 5 chars for k=2,q=2),
-    so its 2k+1-key length join is a small-side join by construction.
+    and goes straight to verification.  Stratum membership is by DISTINCT
+    q-gram count, so it holds two populations: genuinely short strings
+    (length <= k*q + q - 1 ≈ 5 chars for k=2,q=2 — alphabet-bounded at
+    web scale) and arbitrarily long LOW-ENTROPY strings ('aaaa…a' has one
+    distinct bigram at any length).  Correctness is unaffected (the
+    levenshtein verification prunes), but the stratum's join cost is
+    bounded by the alphabet only for the first population; a corpus heavy
+    in long repetitive strings pays |stratum| x |±k length window| in
+    candidates there.
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
@@ -201,7 +209,9 @@ def edit_distance_join(
     toks = strs.select(
         "_id", _qgram_set(F.col("_s"), q).alias("_tok")
     ).where(F.size("_tok") > 0)
-    ordered = _df_ordered_tokens(toks)
+    # three consumers (both prefix sides + the short-string stratum)
+    # would each re-run the gram->df->order chain: cut lineage once
+    ordered = _df_ordered_tokens(toks).localCheckpoint(eager=True)
     lens = strs.select("_id", F.length("_s").alias("_len"))
     pref = (
         ordered.where(F.col("_n") > k * q)

@@ -115,6 +115,53 @@ def test_candidate_pairs_salting_is_lossless(spark):
     assert a == b and len(a) == 30 * 29 // 2
 
 
+def test_measured_salting_identical_pairs(spark):
+    """salt_rows_target derives per-key salt counts from measured block
+    sizes; the pair SET must be identical to static salting on a skewed
+    fixture (one mega-block, one mildly hot block, cold tail)."""
+    rows = (
+        [("mega", f"m{i:04d}") for i in range(200)]
+        + [("warm", f"w{i:02d}") for i in range(25)]
+        + [("cold", "c1"), ("cold", "c2"), ("x", "c9")]
+    )
+    blocks = spark.createDataFrame(rows, "block_key string, url string")
+    static = generate_candidate_pairs(
+        blocks,
+        config=PairGenConfig(
+            max_block_size=10_000, hot_block_threshold=20, n_salts=8
+        ),
+    )
+    measured = generate_candidate_pairs(
+        blocks,
+        config=PairGenConfig(
+            max_block_size=10_000,
+            hot_block_threshold=20,
+            n_salts=8,
+            salt_rows_target=16,  # mega -> ceil(200/16)=13 salts, warm -> floor 8
+            max_salts=64,
+        ),
+    )
+    a = {(r["id_a"], r["id_b"]) for r in static.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in measured.collect()}
+    assert a == b
+    assert len(a) == 200 * 199 // 2 + 25 * 24 // 2 + 1
+
+
+def test_measured_salting_clamps(spark):
+    # max_salts caps the fan-out; n_salts is the hot floor — both clamp
+    # ends still produce the exact pair set
+    rows = [("huge", f"h{i:05d}") for i in range(500)]
+    blocks = spark.createDataFrame(rows, "block_key string, url string")
+    capped = generate_candidate_pairs(
+        blocks,
+        config=PairGenConfig(
+            max_block_size=10_000, hot_block_threshold=20, n_salts=4,
+            salt_rows_target=1, max_salts=8,   # wants 500 salts, capped at 8
+        ),
+    )
+    assert capped.count() == 500 * 499 // 2
+
+
 def test_candidate_pairs_mixed_hot_cold_one_join(spark):
     """The fused dynamic-salt path: one call carrying a hot block (salted
     n ways) AND cold blocks (salt count 1) must emit exactly the quadratic
