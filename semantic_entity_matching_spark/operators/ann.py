@@ -250,23 +250,45 @@ def _bucket_keys_df(
             vecs = batch[vec_col]
             mask = vecs.notna()
             if not mask.any():
-                yield pd.DataFrame({out_id: [], "bucket": []})
+                yield pd.DataFrame(
+                    {
+                        out_id: pd.Series([], dtype=object),
+                        "_tab": pd.Series([], dtype="int32"),
+                        "_code": pd.Series([], dtype="int64"),
+                    }
+                )
                 continue
             mat = np.vstack(vecs[mask].to_numpy()).astype(np.float32)
             proj = mat @ flat.T  # (n, n_tables*n_bits)
             bits = (proj > 0).reshape(len(mat), n_tables, n_bits)
             codes = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
             ids = batch.loc[mask, batch.columns[0]].to_numpy()
-            out_ids, buckets = [], []
-            for row_i in range(len(mat)):
-                for t in range(n_tables):
-                    out_ids.append(ids[row_i])
-                    buckets.append(f"t{t}:{codes[row_i, t]:x}")
-            yield pd.DataFrame({out_id: out_ids, "bucket": buckets})
+            # typed (id, table, code) columns; the 't<t>:<hex>' string is
+            # assembled in JVM codegen below (no per-row Python formatting)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    "_tab": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(mat)
+                    ),
+                    # two's-complement view: JVM hex(bigint) prints the
+                    # same digits Python's f"{code:x}" prints for uint64
+                    "_code": codes.reshape(-1).view(np.int64),
+                }
+            )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        gen, schema=f"{out_id} {id_type}, bucket string"
+    raw = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema=f"{out_id} {id_type}, _tab int, _code bigint"
+    )
+    return raw.select(
+        F.col(out_id),
+        F.concat(
+            F.lit("t"),
+            F.col("_tab").cast("string"),
+            F.lit(":"),
+            F.lower(F.hex(F.col("_code"))),
+        ).alias("bucket"),
     )
 
 

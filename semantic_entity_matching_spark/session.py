@@ -45,6 +45,8 @@ def ensure_min_parallelism(df, min_fraction: float = 0.5):
     'for parallelism' when the layout already has it).  Deterministic:
     round-robin repartition keeps Spark's sort-before-repartition, and
     every consumer downstream is per-row or set/aggregate-based."""
+    if df.isStreaming:  # .rdd is undefined for streaming frames
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
