@@ -99,8 +99,7 @@ def quantize(df, vec_col: str, kind: str, out_col: str | None = None):
     return df.withColumn(out_col, udf(F.col(vec_col)))
 
 
-@pandas_udf(DoubleType())
-def int8_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _int8_cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine over int8-quantized vectors, float64 accumulation.  Rank order
     tracks the float cosine (quantization noise ~1/127 per component)."""
     mask = a.notna() & b.notna()
@@ -114,6 +113,17 @@ def int8_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             vals = np.where(norms > 0, dots / norms, 0.0)
         out[mask.to_numpy()] = vals
     return pd.Series(out).where(mask, other=None)
+
+
+int8_cosine_udf = pandas_udf(DoubleType())(_int8_cosine_batch)
+
+# independent non-deterministic-marked instance for threshold-filter sites
+# (guide §4.4) — see similarity.cosine_udf_filter_safe for why this must
+# NOT be `int8_cosine_udf.asNondeterministic()` (that mutates the shared
+# underlying UserDefinedFunction for every call site)
+int8_cosine_udf_filter_safe = pandas_udf(DoubleType())(
+    _int8_cosine_batch
+).asNondeterministic()
 
 
 _POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(

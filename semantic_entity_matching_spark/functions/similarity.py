@@ -35,8 +35,7 @@ def cosine_py(a: list[float], b: list[float]) -> float:
     return float(np.dot(va, vb) / (na * nb))
 
 
-@pandas_udf(DoubleType())
-def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batched cosine over two array<float> columns (same fixed dim).
 
     np.vstack + einsum keeps the whole Arrow batch in two dense matrices —
@@ -55,6 +54,8 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out).where(mask, other=None)
 
 
+cosine_udf = pandas_udf(DoubleType())(_cosine_batch)
+
 # Filter-safe variant: when a FILTER references the UDF's output column,
 # Catalyst pushes the filter down and re-evaluates the UDF under it — two
 # ArrowEvalPython nodes, every row paying the cosine twice (guide §4.4).
@@ -62,7 +63,11 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 # is in fact deterministic; the marker only constrains the optimizer).
 # Use THIS one wherever the cosine feeds a threshold filter in the same
 # plan; keep the plain udf elsewhere so unrelated filters can still push.
-cosine_udf_filter_safe = cosine_udf.asNondeterministic()
+# NOTE: this must be an INDEPENDENT pandas_udf instance — the wrapper's
+# asNondeterministic() MUTATES the shared underlying UserDefinedFunction,
+# so aliasing `cosine_udf.asNondeterministic()` would silently flip every
+# cosine_udf call site in the session to non-deterministic.
+cosine_udf_filter_safe = pandas_udf(DoubleType())(_cosine_batch).asNondeterministic()
 
 
 def cosine_expr(a: str | Column, b: str | Column) -> Column:

@@ -66,8 +66,9 @@ def ranked_topk(scored: DataFrame, k: int, query_col: str = "query_id") -> DataF
 # (query matrix broadcast, corpus crosses the Python boundary ONCE);
 # larger query sides fall back to the broadcast-join form.  The bound only
 # gates a driver-side collect the join form would broadcast anyway — 16k
-# queries x dim 1024 float32 is a 64 MB broadcast, comfortably under the
-# join path's own broadcast threshold.
+# queries x dim 1024 in float64 (exactness requires the wide accumulator
+# dtype) is a ~128 MB broadcast, within the join path's own broadcast
+# budget for the same table.
 GROUPED_QUERY_BOUND = 16_384
 
 

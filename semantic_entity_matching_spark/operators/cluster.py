@@ -118,6 +118,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
     for r in edges.select("id_a", "id_b").collect():
         a, b = r[0], r[1]
+        if a is None or b is None:
+            # the superstep path's `u != v` predicate is NULL on a NULL
+            # endpoint, so such edges are silently dropped there — match it
+            continue
         if a == b:
             continue  # self-loops carry no connectivity (symmetrize drops them)
         if a not in parent:

@@ -702,7 +702,7 @@ def embedding_near_duplicates(
     pre-scoring pass at 100 TB and rerank survivors with exact float."""
     from semantic_entity_matching_spark.functions.quantize import (
         binary_cosine_from_packed,
-        int8_cosine_udf,
+        int8_cosine_udf_filter_safe,
         quantize,
     )
 
@@ -734,7 +734,7 @@ def embedding_near_duplicates(
         # codegen, subexpression elimination already dedups it
         cos = binary_cosine_from_packed(F.col("_va"), F.col("_vb"))
     elif quantization == "int8":
-        cos = int8_cosine_udf.asNondeterministic()(F.col("_va"), F.col("_vb"))
+        cos = int8_cosine_udf_filter_safe(F.col("_va"), F.col("_vb"))
     else:
         from semantic_entity_matching_spark.functions.similarity import (
             cosine_udf_filter_safe,

@@ -236,7 +236,7 @@ def score_pairs(
 
     from semantic_entity_matching_spark.functions.quantize import (
         binary_cosine_from_packed,
-        int8_cosine_udf,
+        int8_cosine_udf_filter_safe,
         quantize,
     )
 
@@ -262,7 +262,7 @@ def score_pairs(
     if config.quantization == "int8":
         # filter-safe marker: the approx-cutoff filter below would
         # otherwise double-evaluate the UDF (guide §4.4)
-        approx = int8_cosine_udf.asNondeterministic()(F.col("_qa"), F.col("_qb"))
+        approx = int8_cosine_udf_filter_safe(F.col("_qa"), F.col("_qb"))
     else:
         approx = binary_cosine_from_packed(F.col("_qa"), F.col("_qb"))
     kept = (

@@ -78,6 +78,22 @@ def test_driver_fold_equals_superstep_path(spark):
     assert folded == distributed
     assert not any(i in ("s1", "zz") for i, _ in folded)
 
+    # NULL endpoints: the superstep path's u != v predicate drops them
+    # silently; the fold must match (and not crash on None ordering)
+    null_df = spark.createDataFrame(
+        [("a", "b"), ("c", None), (None, "d"), (None, None)],
+        "id_a string, id_b string",
+    )
+    nd = {
+        (r["id"], r["component"])
+        for r in connected_components(null_df, n_edges=None).collect()
+    }
+    nf = {
+        (r["id"], r["component"])
+        for r in connected_components(null_df, n_edges=4).collect()
+    }
+    assert nf == nd == {("a", "a"), ("b", "a")}
+
     int_edges = [(random.randrange(50), random.randrange(50)) for _ in range(80)]
     dfi = spark.createDataFrame(int_edges, "id_a long, id_b long")
     got_d = {
