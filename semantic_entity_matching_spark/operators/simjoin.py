@@ -105,17 +105,45 @@ def prefix_filter_jaccard_join(
         - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("int")
         + F.lit(1)
     )
+    # posexplode: each prefix token carries its 0-based position in the
+    # doc's df-ordered token list — the input to PPJoin's positional
+    # filter below
     pref = ordered.select(
-        "_id", "_n", F.explode(F.slice("_ord", F.lit(1), plen)).alias("_t")
+        "_id", "_n", F.posexplode(F.slice("_ord", F.lit(1), plen)).alias("_p", "_t")
     )
     a = pref.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_t"
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"),
+        F.col("_p").alias("_pa"), "_t",
     )
     b = pref.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_t"
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"),
+        F.col("_p").alias("_pb"), "_t",
     )
-    # length filter folded into the join: jaccard >= t forces
-    # min(|x|,|y|) / max(|x|,|y|) >= t
+    # Two lossless filters folded into the join:
+    # * length filter: jaccard >= t forces min(|x|,|y|)/max(|x|,|y|) >= t;
+    # * POSITIONAL filter (PPJoin, Xiao et al. WWW'08): both token lists
+    #   follow the same global total order, so a common token at 0-based
+    #   positions (pa, pb) bounds the overlap by
+    #   min(pa, pb) + 1 + min(|x|-pa-1, |y|-pb-1) (commons before it sit
+    #   before it on BOTH sides; commons after it likewise), while
+    #   jaccard >= t needs overlap >= t/(1+t) * (|x|+|y|).  The bound
+    #   over-counts the true overlap, so every token of a qualifying
+    #   pair passes — keeping pairs that pass on ANY token loses nothing
+    #   (the 1e-9 slack keeps float ceil from over-rounding the
+    #   requirement; under-rounding only admits extra candidates).
+    required = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("a._na") + F.col("b._nb"))
+        - F.lit(1e-9)
+    )
+    pos_bound = (
+        F.least("a._pa", "b._pb")
+        + F.lit(1)
+        + F.least(
+            F.col("a._na") - F.col("a._pa") - F.lit(1),
+            F.col("b._nb") - F.col("b._pb") - F.lit(1),
+        )
+    )
     # signature self-join: both sides are exploded corpus prefixes —
     # pinned shuffle_hash for the same reason as the df table
     cand = (
@@ -127,7 +155,8 @@ def prefix_filter_jaccard_join(
             & (
                 F.least("a._na", "b._nb")
                 >= F.lit(float(threshold)) * F.greatest("a._na", "b._nb")
-            ),
+            )
+            & (pos_bound >= required),
         )
         .select("id_a", "id_b")
         .distinct()
